@@ -1,0 +1,49 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+The reference repo tests its RTL without a board (Vivado xsim); we test
+our multi-chip sharding without a TPU pod: 8 virtual CPU devices via
+``xla_force_host_platform_device_count`` (SURVEY.md §4). The axon TPU
+plugin force-sets JAX_PLATFORMS=axon via sitecustomize, so the platform
+must be overridden in-process before any JAX computation.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
+
+
+@pytest.fixture(scope="session")
+def frame_pair():
+    """A deterministic textured frame pair with known 2 px horizontal shift."""
+    from tpuflow.eval import patterns
+
+    f0, f1 = patterns.generate_test_pattern(
+        patterns.TEST_PATTERNS["translate_medium"], 320, 240, output_dir=None
+    )
+    return f0.astype(np.float32), f1.astype(np.float32)
+
+
+@pytest.fixture(scope="session")
+def small_frame_pair(rng):
+    """Small random textured pair for fast kernel tests."""
+    base = rng.uniform(0.0, 255.0, (64, 96)).astype(np.float32)
+    from scipy.ndimage import gaussian_filter, shift
+
+    base = gaussian_filter(base, 2.0).astype(np.float32)
+    shifted = shift(base, (0.0, 1.5), order=1, mode="constant").astype(np.float32)
+    return base, shifted

@@ -1,0 +1,94 @@
+"""Pyramidal LK component and integration tests."""
+
+import numpy as np
+import jax.numpy as jnp
+from scipy.ndimage import gaussian_filter as sp_gauss
+from scipy.ndimage import map_coordinates
+
+from tpuflow.core.config import PyramidConfig
+from tpuflow.flow import lucas_kanade_pyramidal
+from tpuflow.kernels import jnp_ref
+
+
+def ref_downsample(image, scale=0.5):
+    """Reference downsampling semantics (python/lucas_kanade_pyramidal.py:44-59)."""
+    smoothed = sp_gauss(image, sigma=1.0 / scale)
+    h, w = smoothed.shape
+    nh, nw = int(h * scale), int(w * scale)
+    yy, xx = np.meshgrid(
+        np.linspace(0, h - 1, nh), np.linspace(0, w - 1, nw), indexing="ij"
+    )
+    return map_coordinates(smoothed, [yy, xx], order=1, mode="constant")
+
+
+def test_pyramid_shapes_and_order(frame_pair):
+    prev, _ = frame_pair
+    pyr = jnp_ref.build_gaussian_pyramid(jnp.asarray(prev), 3)
+    # Level 0 = coarsest (reference: lucas_kanade_pyramidal.py:61).
+    assert pyr[0].shape == (60, 80)
+    assert pyr[1].shape == (120, 160)
+    assert pyr[2].shape == (240, 320)
+    np.testing.assert_array_equal(np.asarray(pyr[2]), prev)
+
+
+def test_downsample_matches_reference_semantics(frame_pair):
+    prev, _ = frame_pair
+    ref = ref_downsample(prev)
+    got = np.asarray(jnp_ref.downsample_image(jnp.asarray(prev)))
+    np.testing.assert_allclose(got, ref, atol=1e-3)
+
+
+def test_warp_matches_map_coordinates(frame_pair, rng):
+    prev, _ = frame_pair
+    h, w = prev.shape
+    u = rng.uniform(-10, 10, (h, w)).astype(np.float32)
+    v = rng.uniform(-10, 10, (h, w)).astype(np.float32)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    ref = map_coordinates(prev, [yy + v, xx + u], order=1, mode="constant", cval=0.0)
+    got = np.asarray(jnp_ref.warp_image(jnp.asarray(prev), jnp.asarray(u), jnp.asarray(v)))
+    np.testing.assert_allclose(got, ref, atol=1e-2)
+
+
+def test_upsample_flow_scales_magnitude(rng):
+    u = rng.uniform(-2, 2, (30, 40)).astype(np.float32)
+    v = rng.uniform(-2, 2, (30, 40)).astype(np.float32)
+    uu, vv = jnp_ref.upsample_flow(jnp.asarray(u), jnp.asarray(v), (60, 80))
+    assert uu.shape == (60, 80)
+    # Magnitudes double with resolution (reference:
+    # lucas_kanade_pyramidal.py:134-136); corners map exactly.
+    np.testing.assert_allclose(np.asarray(uu)[0, 0], u[0, 0] * 2.0, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(vv)[-1, -1], v[-1, -1] * 2.0, rtol=1e-5)
+
+
+def test_upsample_matches_reference_semantics(rng):
+    u = rng.uniform(-2, 2, (60, 80)).astype(np.float32)
+    yy, xx = np.meshgrid(
+        np.linspace(0, 59, 120), np.linspace(0, 79, 160), indexing="ij"
+    )
+    ref = map_coordinates(u, [yy, xx], order=1, mode="constant") * 2.0
+    got, _ = jnp_ref.upsample_flow(jnp.asarray(u), jnp.asarray(u), (120, 160))
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-4)
+
+
+def test_pyramidal_beats_single_scale_on_large_motion(frame_pair):
+    # 2 px motion: pyramidal should produce a sane flow field; the real
+    # large-motion check is the 13-pattern regression test.
+    prev, curr = frame_pair
+    u, v = lucas_kanade_pyramidal(jnp.asarray(prev), jnp.asarray(curr))
+    assert u.shape == prev.shape
+    interior = np.asarray(u)[20:-20, 20:-20]
+    assert 0.2 < interior.mean() < 4.0
+
+
+def test_no_motion_is_exactly_zero(frame_pair):
+    prev, _ = frame_pair
+    u, v = lucas_kanade_pyramidal(jnp.asarray(prev), jnp.asarray(prev))
+    assert np.all(np.asarray(u) == 0)
+    assert np.all(np.asarray(v) == 0)
+
+
+def test_named_configs(frame_pair):
+    prev, curr = frame_pair
+    cfg = PyramidConfig(levels=2, window_size=5, iterations=1)
+    u, v = lucas_kanade_pyramidal(jnp.asarray(prev), jnp.asarray(curr), config=cfg)
+    assert u.shape == prev.shape

@@ -1,0 +1,95 @@
+"""Micro-tests: tpuflow.core.ops vs SciPy golden semantics.
+
+These pin the exact boundary/sampling behaviors the accuracy-parity gate
+depends on (SURVEY.md §7 'Hard parts'): convolve2d kernel flip +
+boundary='symm', gaussian_filter truncation/boundary, map_coordinates
+order=1 constant-mode edge semantics, linspace resampling grids.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+from scipy import signal
+from scipy.ndimage import gaussian_filter as sp_gauss
+from scipy.ndimage import map_coordinates
+
+from tpuflow.core import ops
+from tpuflow.kernels import jnp_ref
+
+
+@pytest.fixture(scope="module")
+def img(rng):
+    return rng.uniform(0.0, 255.0, (57, 83)).astype(np.float32)
+
+
+def test_conv2d_symm_matches_convolve2d(img):
+    for kernel in (jnp_ref.SOBEL_X, jnp_ref.SOBEL_Y):
+        ref = signal.convolve2d(img, kernel, mode="same", boundary="symm")
+        got = np.asarray(ops.conv2d_symm(jnp.asarray(img), kernel))
+        assert ref.dtype == np.float32
+        np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_conv2d_symm_is_true_convolution():
+    # An asymmetric kernel distinguishes convolution from correlation.
+    k = np.array([[0.0, 1.0, 0.0], [0.0, 0.0, 0.0], [0.0, 0.0, 0.0]], np.float32)
+    img = np.zeros((7, 7), np.float32)
+    img[3, 3] = 1.0
+    ref = signal.convolve2d(img, k, mode="same", boundary="symm")
+    got = np.asarray(ops.conv2d_symm(jnp.asarray(img), k))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_gaussian_filter_matches_scipy(img):
+    for sigma in (1.0, 2.0):
+        ref = sp_gauss(img, sigma=sigma)
+        got = np.asarray(ops.gaussian_filter(jnp.asarray(img), sigma))
+        np.testing.assert_allclose(got, ref, atol=1e-3)
+
+
+def test_gaussian_kernel_radius():
+    # scipy radius = int(truncate * sigma + 0.5): 8 taps each side at sigma=2.
+    assert len(ops.gaussian_kernel1d(2.0)) == 17
+    assert len(ops.gaussian_kernel1d(1.0)) == 9
+
+
+def test_map_coordinates_interior(img, rng):
+    h, w = img.shape
+    y = rng.uniform(0, h - 1, (200,))
+    x = rng.uniform(0, w - 1, (200,))
+    ref = map_coordinates(img, [y, x], order=1, mode="constant")
+    got = np.asarray(
+        ops.map_coordinates_bilinear(jnp.asarray(img), jnp.asarray(y), jnp.asarray(x))
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-3)
+
+
+def test_map_coordinates_oob_is_hard_cval(img):
+    # SciPy 'constant' mode: ANY coordinate fractionally outside [0, N-1]
+    # returns cval outright — no blending with border pixels.
+    h, w = img.shape
+    y = np.array([-0.3, -0.001, 0.0, h - 1.0, h - 0.999, h + 2.0, 5.0, 5.0])
+    x = np.array([5.0, 5.0, 5.0, 5.0, 5.0, 5.0, -0.4, w - 0.5])
+    ref = map_coordinates(img, [y, x], order=1, mode="constant")
+    got = np.asarray(
+        ops.map_coordinates_bilinear(jnp.asarray(img), jnp.asarray(y), jnp.asarray(x))
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-3)
+
+
+def test_resize_bilinear_matches_linspace_map_coordinates(img):
+    h, w = img.shape
+    for nh, nw in ((28, 41), (114, 166)):
+        yc = np.linspace(0, h - 1, nh)
+        xc = np.linspace(0, w - 1, nw)
+        yy, xx = np.meshgrid(yc, xc, indexing="ij")
+        ref = map_coordinates(img, [yy, xx], order=1, mode="constant")
+        got = np.asarray(ops.resize_bilinear(jnp.asarray(img), nh, nw))
+        np.testing.assert_allclose(got, ref, atol=1e-3)
+
+
+def test_uniform_window_sum(img):
+    ref = signal.convolve2d(img, np.ones((5, 5), np.float32), mode="valid")
+    got = np.asarray(ops.uniform_window_sum_valid(jnp.asarray(img), 5))
+    assert got.shape == (img.shape[0] - 4, img.shape[1] - 4)
+    np.testing.assert_allclose(got, ref, rtol=1e-6)

@@ -1,0 +1,80 @@
+"""End-to-end regression gate: the full 13-pattern suite vs the
+reference repo's committed baseline (the primary parity gate, SURVEY.md
+§4 ring 2 — 10% threshold on mae_u/mae_v/epe for both modes)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from tpuflow.eval import patterns, verifier
+
+
+@pytest.fixture(scope="module")
+def suite_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("suite")
+    patterns.generate_full_suite(output_dir=d, save_png=False)
+    return d
+
+
+def test_pattern_generation_manifest(suite_dir):
+    index = json.loads((suite_dir / "suite_index.json").read_text())
+    assert index["num_patterns"] == 13
+    assert set(index["patterns"]) == set(patterns.TEST_PATTERNS)
+
+
+def test_frames_are_deterministic(suite_dir):
+    d = patterns.load_test_pattern(suite_dir / "translate_medium")
+    assert d["frame_prev"].shape == (240, 320)
+    f0, _ = patterns.generate_test_pattern(
+        patterns.TEST_PATTERNS["translate_medium"], output_dir=None
+    )
+    np.testing.assert_array_equal(d["frame_prev"], f0.astype(np.float32))
+
+
+def test_region_masks():
+    m = verifier.get_test_region_mask((240, 320), "translate_medium")
+    assert m.sum() == (240 - 20) * (320 - 20)
+    m = verifier.get_test_region_mask((240, 320), "rotate_small")
+    assert m.sum() == 80 * 80
+
+
+def test_classification_thresholds():
+    assert verifier.classify_result(0.3, 0.2, "translate_small") == "Pass"
+    assert verifier.classify_result(1.5, 0.2, "translate_small") == "Warning"
+    assert verifier.classify_result(3.0, 0.2, "translate_small") == "Fail"
+    assert verifier.classify_result(0.9, 0.9, "rotate_small") == "Pass"
+    assert verifier.classify_result(4.0, 4.0, "translate_rotate") == "Warning"
+
+
+def test_compare_metrics_flags_regressions():
+    cmp = verifier.compare_metrics(
+        {"mae_u": 1.2, "mae_v": 1.0, "epe": 1.0},
+        {"mae_u": 1.0, "mae_v": 1.0, "epe": 1.0},
+    )
+    assert not cmp["passed"]
+    cmp = verifier.compare_metrics(
+        {"mae_u": 1.05, "mae_v": 1.0, "epe": 1.0},
+        {"mae_u": 1.0, "mae_v": 1.0, "epe": 1.0},
+    )
+    assert cmp["passed"]
+    # Baseline-zero rule (reference: optical_flow_verifier.py:612-615).
+    cmp = verifier.compare_metrics({"mae_u": 0.5}, {"mae_u": 0.0})
+    assert not cmp["passed"]
+
+
+@pytest.mark.slow
+def test_full_suite_matches_reference_baseline(suite_dir):
+    """The headline parity gate: all 13 patterns, both modes, within 10%
+    of the reference's committed verification_baseline.json."""
+    results = verifier.run_suite(suite_dir=suite_dir, verbose=False)
+    assert len(results) == 13
+    ok = verifier.compare_against_baseline(
+        results, verifier.REFERENCE_BASELINE, threshold_percent=10.0
+    )
+    assert ok, "accuracy regression vs reference baseline"
+
+    # no_motion must be *exactly* zero (any numerical dust fails, by design).
+    nm = next(r for r in results if r["pattern_name"] == "no_motion")
+    assert nm["single_scale"]["metrics"]["epe"] == 0.0
+    assert nm["pyramidal"]["metrics"]["epe"] == 0.0

@@ -1,0 +1,53 @@
+"""Pyramid / solver configuration.
+
+Mirrors the named pyramid configurations of the reference verifier
+(reference: python/verification_config.yaml:78-103) so that users of the
+reference can select the same ``default / shallow / deep / large_window``
+configs by name.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class PyramidConfig:
+    """Static configuration for pyramidal Lucas-Kanade.
+
+    All fields are static (Python ints/floats) so a config hashes cleanly
+    into a jitted function's static arguments.
+    """
+
+    levels: int = 3
+    window_size: int = 5
+    iterations: int = 3
+    scale_factor: float = 0.5
+    # Early-exit threshold on the mean |residual| per component
+    # (reference: python/lucas_kanade_pyramidal.py:221-223).
+    convergence_threshold: float = 0.01
+    # Texture gate on the structure-tensor determinant
+    # (reference: python/lucas_kanade_core.py:131).
+    det_threshold: float = 1e-4
+    description: str = ""
+
+
+# Named configurations, mirroring verification_config.yaml:78-103.
+PYRAMID_CONFIGS: dict[str, PyramidConfig] = {
+    "default": PyramidConfig(
+        levels=3, window_size=5, iterations=3,
+        description="3-level pyramid, 5x5 window, 3 iterations/level",
+    ),
+    "shallow": PyramidConfig(
+        levels=2, window_size=5, iterations=3,
+        description="2-level pyramid (faster, less memory)",
+    ),
+    "deep": PyramidConfig(
+        levels=4, window_size=5, iterations=3,
+        description="4-level pyramid (handles larger motion)",
+    ),
+    "large_window": PyramidConfig(
+        levels=3, window_size=7, iterations=3,
+        description="3-level pyramid, 7x7 window",
+    ),
+}

@@ -1,0 +1,209 @@
+"""SciPy-parity numerics, implemented in pure JAX.
+
+The reference golden model (reference: python/lucas_kanade_core.py,
+python/lucas_kanade_pyramidal.py) is built on three SciPy primitives whose
+exact boundary/sampling semantics set the accuracy-parity gate:
+
+1. ``scipy.signal.convolve2d(img, k, mode="same", boundary="symm")``
+   — true convolution (kernel flipped), symmetric edge-reflect padding.
+2. ``scipy.ndimage.gaussian_filter(img, sigma)``
+   — separable Gaussian, radius ``int(truncate * sigma + 0.5)`` with
+   ``truncate=4.0``, applied with 'reflect' (= symmetric) boundary.
+3. ``scipy.ndimage.map_coordinates(img, coords, order=1, mode="constant")``
+   — bilinear sampling on an input virtually extended with ``cval``; a
+   sample whose 4-corner support partially leaves the array blends the
+   in-bounds corners with ``cval``.
+
+Each function here is a drop-in jnp equivalent, unit-tested against SciPy
+golden outputs in tests/test_scipy_parity.py. Everything is float32 and
+shape-static so it stages cleanly into XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Reference-parity ops must not be demoted to bf16 MXU passes on TPU —
+# the accuracy gate is float32-vs-float32 within 10%.
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _conv2d_valid(x: jax.Array, k: jax.Array) -> jax.Array:
+    """VALID-mode 2-D correlation of a single-channel image, f32-exact."""
+    out = jax.lax.conv_general_dilated(
+        x[None, None, :, :],
+        k[None, None, :, :],
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=_HIGHEST,
+        preferred_element_type=x.dtype,
+    )
+    return out[0, 0]
+
+
+def conv2d_symm(img: jax.Array, kernel: np.ndarray) -> jax.Array:
+    """2-D convolution, 'same' output, symmetric boundary.
+
+    Matches ``scipy.signal.convolve2d(img, kernel, mode="same",
+    boundary="symm")`` for odd-sized kernels (reference usage:
+    python/lucas_kanade_core.py:39-40). ``kernel`` must be a static numpy
+    array; the flip that distinguishes convolution from correlation is
+    folded into it at trace time.
+    """
+    kh, kw = kernel.shape
+    assert kh % 2 == 1 and kw % 2 == 1, "odd kernels only"
+    ph, pw = kh // 2, kw // 2
+    flipped = jnp.asarray(np.ascontiguousarray(kernel[::-1, ::-1]), img.dtype)
+    padded = jnp.pad(img, ((ph, ph), (pw, pw)), mode="symmetric")
+    # Correlation with the flipped kernel == true convolution.
+    return _conv2d_valid(padded, flipped)
+
+
+@functools.lru_cache(maxsize=None)
+def gaussian_kernel1d(sigma: float, truncate: float = 4.0) -> np.ndarray:
+    """The 1-D Gaussian tap vector scipy.ndimage uses.
+
+    Radius ``int(truncate * sigma + 0.5)``; taps ``exp(-0.5 x^2 / sigma^2)``
+    normalized to sum 1 (float64, then cast at use sites). Matches
+    ``scipy.ndimage._filters._gaussian_kernel1d`` output for order=0.
+    """
+    radius = int(truncate * sigma + 0.5)
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    phi = np.exp(-0.5 * (x / sigma) ** 2)
+    phi /= phi.sum()
+    return phi
+
+
+def gaussian_filter(img: jax.Array, sigma: float, truncate: float = 4.0) -> jax.Array:
+    """Separable Gaussian smoothing with 'reflect' (symmetric) boundary.
+
+    Matches ``scipy.ndimage.gaussian_filter(img, sigma)`` defaults
+    (reference usage: python/lucas_kanade_pyramidal.py:47 with sigma=2.0).
+    The kernel is symmetric, so correlation == convolution.
+    """
+    taps = gaussian_kernel1d(sigma, truncate).astype(np.float32)
+    r = len(taps) // 2
+    k = jnp.asarray(taps, img.dtype)
+
+    # Rows then columns, each as a rank-4 conv for XLA.
+    padded = jnp.pad(img, ((r, r), (0, 0)), mode="symmetric")
+    out = _conv2d_valid(padded, k[:, None])
+    padded = jnp.pad(out, ((0, 0), (r, r)), mode="symmetric")
+    return _conv2d_valid(padded, k[None, :])
+
+
+def map_coordinates_bilinear(
+    img: jax.Array,
+    y: jax.Array,
+    x: jax.Array,
+    cval: float = 0.0,
+) -> jax.Array:
+    """Bilinear sampling of ``img`` at float coordinates ``(y, x)``.
+
+    Matches ``scipy.ndimage.map_coordinates(img, [y, x], order=1,
+    mode="constant", cval=cval)`` (reference usage:
+    python/lucas_kanade_pyramidal.py:59,95,131-132). SciPy's 'constant'
+    mode returns ``cval`` for ANY coordinate outside ``[0, N-1]`` — even
+    fractionally outside; it does NOT blend border pixels with ``cval``
+    (verified empirically against scipy 1.17). Samples exactly on the far
+    edge (coord == N-1) interpolate with zero weight on the clamped
+    out-of-range corner.
+    """
+    h, w = img.shape
+    y0f = jnp.floor(y)
+    x0f = jnp.floor(x)
+    fy = (y - y0f).astype(img.dtype)
+    fx = (x - x0f).astype(img.dtype)
+    y0 = y0f.astype(jnp.int32)
+    x0 = x0f.astype(jnp.int32)
+
+    def corner(yi, xi):
+        return img[jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)]
+
+    v00 = corner(y0, x0)
+    v01 = corner(y0, x0 + 1)
+    v10 = corner(y0 + 1, x0)
+    v11 = corner(y0 + 1, x0 + 1)
+
+    top = v00 * (1.0 - fx) + v01 * fx
+    bot = v10 * (1.0 - fx) + v11 * fx
+    val = top * (1.0 - fy) + bot * fy
+
+    inside = (y >= 0) & (y <= h - 1) & (x >= 0) & (x <= w - 1)
+    return jnp.where(inside, val, jnp.asarray(cval, img.dtype))
+
+
+def linspace_grid(n_src: int, n_dst: int) -> np.ndarray:
+    """``np.linspace(0, n_src - 1, n_dst)`` in float64 — the resampling grid
+    used by the reference for pyramid down/upsampling (reference:
+    python/lucas_kanade_pyramidal.py:55-56,126-127). Kept f64 so the
+    floor/fraction split below matches SciPy's double-precision sampling."""
+    return np.linspace(0.0, float(n_src - 1), n_dst)
+
+
+def resize_bilinear(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """Resample to (out_h, out_w) on the reference's linspace grid.
+
+    Because the grid is a separable outer product, this runs as two 1-D
+    sparse-matrix products instead of a 2-D gather — MXU/VPU-friendly on
+    TPU, numerically identical to bilinear ``map_coordinates`` on the same
+    grid (all coordinates in-bounds).
+    """
+    h, w = img.shape
+    out = _resample_axis(img, linspace_grid(h, out_h), axis=0)
+    out = _resample_axis(out, linspace_grid(w, out_w), axis=1)
+    return out
+
+
+def _resample_axis(img: jax.Array, coords: np.ndarray, axis: int) -> jax.Array:
+    n = img.shape[axis]
+    c0 = np.floor(coords).astype(np.int64)
+    frac = (coords - c0).astype(np.float32)
+    c0 = np.clip(c0, 0, n - 1)
+    c1 = np.clip(c0 + 1, 0, n - 1)
+    lo = jnp.take(img, jnp.asarray(c0), axis=axis)
+    hi = jnp.take(img, jnp.asarray(c1), axis=axis)
+    f = jnp.asarray(frac, img.dtype)
+    fshape = [1, 1]
+    fshape[axis] = len(coords)
+    f = f.reshape(fshape)
+    return lo * (1.0 - f) + hi * f
+
+
+def uniform_window_sum_valid(img: jax.Array, window: int) -> jax.Array:
+    """Sum over every fully-interior ``window x window`` patch ('valid').
+
+    Output shape ``(H - window + 1, W - window + 1)``. Separable: rows then
+    columns. Used for the unweighted structure-tensor accumulation
+    (reference: python/lucas_kanade_core.py:114-119 — uniform sums, no
+    Gaussian weighting; the reference README mentions Gaussian weights but
+    the authoritative code does not apply them).
+    """
+    ones = jnp.ones((window,), img.dtype)
+    out = _conv2d_valid(img, ones[:, None])
+    return _conv2d_valid(out, ones[None, :])
+
+
+def gaussian_window_kernel(window: int, sigma: float) -> np.ndarray:
+    """Separable Gaussian window weights for optional weighted accumulation.
+
+    The reference documents Gaussian window weighting (README.md:126-129,
+    verification_config.yaml:70-72) without implementing it; we expose it
+    as an opt-in flag on the LK solvers.
+    """
+    r = window // 2
+    x = np.arange(-r, r + 1, dtype=np.float64)
+    phi = np.exp(-0.5 * (x / sigma) ** 2)
+    k2 = np.outer(phi, phi)
+    k2 /= k2.sum()
+    return k2.astype(np.float32)
+
+
+def weighted_window_sum_valid(img: jax.Array, weights: np.ndarray) -> jax.Array:
+    """'valid' weighted window sum with a static 2-D weight kernel."""
+    return _conv2d_valid(img, jnp.asarray(weights, img.dtype))

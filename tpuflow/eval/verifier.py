@@ -1,0 +1,409 @@
+"""Verification harness: run both LK modes over the 13-pattern suite,
+classify against thresholds, and gate on baseline regression.
+
+TPU-native re-creation of the reference verifier (reference:
+python/optical_flow_verifier.py:211-919): same pattern categories and
+Pass/Warning/Fail thresholds (verification_config.yaml:6-27), same
+test-region semantics (whole frame minus 10 px border for translation;
+central 80x80 crop for rotation/zoom/combined;
+optical_flow_verifier.py:96-138), same mae_u/mae_v/epe 10% regression
+gate against a committed baseline JSON in the reference's schema
+(optical_flow_verifier.py:586-634), exiting nonzero for CI on
+regression (optical_flow_verifier.py:906-915).
+
+The flow computation itself runs through tpuflow's jitted device
+pipeline instead of the reference's per-pixel Python loop.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from datetime import datetime, timezone
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from tpuflow.core.config import PYRAMID_CONFIGS, PyramidConfig
+from tpuflow.eval.metrics import compute_all_metrics
+from tpuflow.eval import patterns as patterns_mod
+
+REFERENCE_BASELINE = Path(__file__).parent / "data" / "reference_baseline.json"
+
+# Pass/Warning thresholds per category (reference:
+# verification_config.yaml:6-27).
+THRESHOLDS: Dict[str, Tuple[float, float]] = {
+    "translation": (0.5, 2.0),
+    "rotation": (1.0, 3.0),
+    "zoom": (1.0, 3.0),
+    "combined": (2.0, 5.0),
+}
+
+# Pattern -> category (reference: verification_config.yaml:29-49).
+PATTERN_CATEGORIES: Dict[str, str] = {
+    "translate_small": "translation",
+    "translate_medium": "translation",
+    "translate_large": "translation",
+    "translate_extreme": "translation",
+    "translate_vertical": "translation",
+    "translate_diagonal": "translation",
+    "no_motion": "translation",
+    "rotate_small": "rotation",
+    "rotate_medium": "rotation",
+    "rotate_large": "rotation",
+    "zoom_in": "zoom",
+    "zoom_out": "zoom",
+    "translate_rotate": "combined",
+}
+
+CENTER_CROP = 80  # reference: verification_config.yaml:107
+BORDER = 10       # reference: optical_flow_verifier.py:135
+
+
+def get_test_region_mask(
+    shape: Tuple[int, int], pattern_name: str, center_crop: int = CENTER_CROP
+) -> np.ndarray:
+    """Mask of pixels to score (reference: optical_flow_verifier.py:96-138)."""
+    height, width = shape
+    mask = np.zeros((height, width), dtype=bool)
+    varies = (
+        "rotate" in pattern_name
+        or "zoom" in pattern_name
+        or "translate_rotate" in pattern_name
+    )
+    if varies:
+        cy, cx = height // 2, width // 2
+        half = center_crop // 2
+        mask[cy - half : cy + half, cx - half : cx + half] = True
+    else:
+        mask[BORDER:-BORDER, BORDER:-BORDER] = True
+    return mask
+
+
+def classify_result(mae_u: float, mae_v: float, pattern_name: str) -> str:
+    """Pass/Warning/Fail on worst-case component MAE (reference:
+    optical_flow_verifier.py:175-203)."""
+    category = PATTERN_CATEGORIES.get(pattern_name, "translation")
+    mae_pass, mae_warning = THRESHOLDS[category]
+    mae_max = max(mae_u, mae_v)
+    if mae_max <= mae_pass:
+        return "Pass"
+    if mae_max <= mae_warning:
+        return "Warning"
+    return "Fail"
+
+
+def _make_runners(pyramid_config: PyramidConfig, backend: str):
+    """Build jitted single-scale and pyramidal runners (compiled once,
+    reused across all 13 patterns — same shapes)."""
+    import jax
+
+    from tpuflow.flow import lucas_kanade_pyramidal, lucas_kanade_single_scale
+
+    @jax.jit
+    def single(prev, curr):
+        return lucas_kanade_single_scale(
+            prev, curr, pyramid_config.window_size, backend=backend
+        )
+
+    @jax.jit
+    def pyramidal(prev, curr):
+        return lucas_kanade_pyramidal(prev, curr, config=pyramid_config, backend=backend)
+
+    return single, pyramidal
+
+
+def verify_pattern(
+    pattern_name: str,
+    pattern_data: Dict[str, Any],
+    runners,
+    pyramid_config_name: str = "default",
+    verbose: bool = True,
+) -> Dict[str, Any]:
+    """Run both implementations on one pattern and score them (reference:
+    optical_flow_verifier.py:211-312)."""
+    single, pyramidal = runners
+    frame_prev = pattern_data["frame_prev"]
+    frame_curr = pattern_data["frame_curr"]
+    motion = pattern_data["metadata"]["motion_parameters"]
+    u_true, v_true = motion["dx"], motion["dy"]
+
+    mask = get_test_region_mask(frame_prev.shape, pattern_name)
+
+    u_s, v_s = single(frame_prev, frame_curr)
+    metrics_single = compute_all_metrics(
+        np.asarray(u_s), np.asarray(v_s), u_true, v_true, mask
+    )
+    u_p, v_p = pyramidal(frame_prev, frame_curr)
+    metrics_pyr = compute_all_metrics(
+        np.asarray(u_p), np.asarray(v_p), u_true, v_true, mask
+    )
+
+    status_single = classify_result(
+        metrics_single["mae_u"], metrics_single["mae_v"], pattern_name
+    )
+    status_pyr = classify_result(metrics_pyr["mae_u"], metrics_pyr["mae_v"], pattern_name)
+
+    if verbose:
+        print(
+            f"{pattern_name:22s} single: mae=({metrics_single['mae_u']:.3f},"
+            f"{metrics_single['mae_v']:.3f}) epe={metrics_single['epe']:.3f}"
+            f" [{status_single}]  pyramidal: mae=({metrics_pyr['mae_u']:.3f},"
+            f"{metrics_pyr['mae_v']:.3f}) epe={metrics_pyr['epe']:.3f} [{status_pyr}]"
+        )
+
+    return {
+        "pattern_name": pattern_name,
+        "ground_truth": {"u": u_true, "v": v_true},
+        "num_test_pixels": int(mask.sum()),
+        "single_scale": {"metrics": metrics_single, "status": status_single},
+        "pyramidal": {
+            "metrics": metrics_pyr,
+            "status": status_pyr,
+            "config": pyramid_config_name,
+        },
+        "flow_fields": {
+            "single": (np.asarray(u_s), np.asarray(v_s)),
+            "pyramidal": (np.asarray(u_p), np.asarray(v_p)),
+        },
+    }
+
+
+def _strip_arrays(result: Dict[str, Any]) -> Dict[str, Any]:
+    return {k: v for k, v in result.items() if k != "flow_fields"}
+
+
+# ---------------------------------------------------------------------------
+# Baseline regression (reference: optical_flow_verifier.py:572-735)
+# ---------------------------------------------------------------------------
+
+
+def compare_metrics(
+    current: Dict[str, float],
+    baseline: Dict[str, float],
+    threshold_percent: float = 10.0,
+) -> Dict[str, Any]:
+    """Flag mae_u/mae_v/epe changes beyond the threshold (reference:
+    optical_flow_verifier.py:586-634), including the baseline-zero rule."""
+    differences: Dict[str, Any] = {}
+    flags: List[str] = []
+    for metric in ("mae_u", "mae_v", "epe"):
+        curr_val = current.get(metric, 0.0)
+        base_val = baseline.get(metric, 0.0)
+        if base_val < 1e-6:
+            if curr_val > 1e-6:
+                flags.append(f"{metric}: {curr_val:.4f} (baseline was 0)")
+            continue
+        change = 100.0 * (curr_val - base_val) / base_val
+        differences[metric] = {
+            "current": curr_val,
+            "baseline": base_val,
+            "change_percent": change,
+        }
+        if abs(change) > threshold_percent:
+            flags.append(
+                f"{metric}: {change:+.1f}% change "
+                f"(current={curr_val:.4f}, baseline={base_val:.4f})"
+            )
+    return {"passed": not flags, "differences": differences, "flags": flags}
+
+
+def compare_against_baseline(
+    results: List[Dict[str, Any]],
+    baseline_path: Path,
+    threshold_percent: float = 10.0,
+    verbose: bool = True,
+) -> bool:
+    """Whole-suite regression check; True = no regressions (reference:
+    optical_flow_verifier.py:637-719)."""
+    if not baseline_path.exists():
+        print(f"No baseline found at {baseline_path}; skipping regression check.")
+        return True
+    baseline = json.loads(baseline_path.read_text()).get("patterns", {})
+
+    all_passed = True
+    for result in results:
+        name = result["pattern_name"]
+        if name not in baseline:
+            if verbose:
+                print(f"  {name}: not in baseline (skipping)")
+            continue
+        for mode in ("single_scale", "pyramidal"):
+            cmp = compare_metrics(
+                result[mode]["metrics"],
+                baseline[name][mode]["metrics"],
+                threshold_percent,
+            )
+            if not cmp["passed"]:
+                all_passed = False
+                if verbose:
+                    print(f"  REGRESSION {name} ({mode}):")
+                    for flag in cmp["flags"]:
+                        print(f"    - {flag}")
+    if verbose:
+        print(
+            "Regression check: "
+            + ("all patterns within threshold" if all_passed else "FAILURES detected")
+        )
+    return all_passed
+
+
+def update_baseline(results: List[Dict[str, Any]], baseline_path: Path) -> None:
+    """Rewrite the baseline from current results (reference:
+    optical_flow_verifier.py:722-735)."""
+    data = {
+        "version": "1.0",
+        "timestamp": datetime.now(timezone.utc).isoformat(),
+        "patterns": {r["pattern_name"]: _strip_arrays(r) for r in results},
+    }
+    baseline_path.parent.mkdir(parents=True, exist_ok=True)
+    baseline_path.write_text(json.dumps(data, indent=2))
+    print(f"Baseline updated: {baseline_path}")
+
+
+# ---------------------------------------------------------------------------
+# Reports (reference: optical_flow_verifier.py:320-386)
+# ---------------------------------------------------------------------------
+
+
+def generate_markdown_table(results: List[Dict[str, Any]]) -> str:
+    lines = ["# Optical Flow Verification Results\n"]
+    for mode, title in (
+        ("single_scale", "Single-Scale Lucas-Kanade"),
+        ("pyramidal", "Pyramidal Lucas-Kanade"),
+    ):
+        lines.append(f"## {title}\n")
+        lines.append(
+            "| Pattern | Ground Truth | MAE (u) | MAE (v) | RMSE | EPE | AAE | Status |"
+        )
+        lines.append(
+            "|---------|--------------|---------|---------|------|-----|-----|--------|"
+        )
+        for r in results:
+            gt = r["ground_truth"]
+            m = r[mode]["metrics"]
+            lines.append(
+                f"| {r['pattern_name']:20s} | ({gt['u']:4.1f}, {gt['v']:4.1f}) | "
+                f"{m['mae_u']:5.3f} | {m['mae_v']:5.3f} | {m['rmse']:5.3f} | "
+                f"{m['epe']:5.3f} | {m['aae']:5.2f}° | {r[mode]['status']} |"
+            )
+        lines.append("")
+    return "\n".join(lines)
+
+
+def save_results_json(results: List[Dict[str, Any]], output_path: Path) -> None:
+    data = {
+        "version": "1.0",
+        "timestamp": datetime.now(timezone.utc).isoformat(),
+        "patterns": {r["pattern_name"]: _strip_arrays(r) for r in results},
+    }
+    output_path.parent.mkdir(parents=True, exist_ok=True)
+    output_path.write_text(json.dumps(data, indent=2))
+
+
+# ---------------------------------------------------------------------------
+# Suite runner / CLI (reference: optical_flow_verifier.py:743-919)
+# ---------------------------------------------------------------------------
+
+
+def run_suite(
+    suite_dir: Optional[Path] = None,
+    pattern_names: Optional[List[str]] = None,
+    pyramid_config_name: str = "default",
+    backend: str = "jnp",
+    verbose: bool = True,
+) -> List[Dict[str, Any]]:
+    """Run verification over the suite, generating it first if missing."""
+    suite_dir = Path(suite_dir) if suite_dir else patterns_mod.DEFAULT_SUITE_DIR
+    if not (suite_dir / "suite_index.json").exists():
+        if verbose:
+            print(f"Generating test suite -> {suite_dir}")
+        patterns_mod.generate_full_suite(output_dir=suite_dir)
+
+    index = json.loads((suite_dir / "suite_index.json").read_text())
+    available = set(index["patterns"].keys())
+    if pattern_names:
+        unknown = [n for n in pattern_names if n not in available]
+        if unknown:
+            raise SystemExit(
+                f"Unknown pattern(s): {', '.join(unknown)}. "
+                f"Available: {', '.join(sorted(available))}"
+            )
+    names = pattern_names or list(index["patterns"].keys())
+
+    cfg = PYRAMID_CONFIGS[pyramid_config_name]
+    runners = _make_runners(cfg, backend)
+
+    results = []
+    for name in names:
+        data = patterns_mod.load_test_pattern(suite_dir / name)
+        results.append(
+            verify_pattern(name, data, runners, pyramid_config_name, verbose=verbose)
+        )
+    return results
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(
+        description="Verify tpuflow optical flow against the 13-pattern suite"
+    )
+    parser.add_argument("--suite-dir", type=str, default=None)
+    parser.add_argument("--pattern", type=str, nargs="+", default=None)
+    parser.add_argument(
+        "--pyramid-config", type=str, default="default", choices=sorted(PYRAMID_CONFIGS)
+    )
+    parser.add_argument("--backend", type=str, default="jnp", choices=["jnp", "pallas"])
+    parser.add_argument("--compare-baseline", action="store_true")
+    parser.add_argument("--update-baseline", action="store_true")
+    parser.add_argument("--regression-threshold", type=float, default=10.0)
+    parser.add_argument(
+        "--baseline",
+        type=str,
+        default=str(REFERENCE_BASELINE),
+        help="Baseline JSON (defaults to the reference repo's committed baseline)",
+    )
+    parser.add_argument("--output-dir", type=str, default="results")
+    parser.add_argument("--no-visualizations", action="store_true")
+    args = parser.parse_args()
+
+    results = run_suite(
+        suite_dir=Path(args.suite_dir) if args.suite_dir else None,
+        pattern_names=args.pattern,
+        pyramid_config_name=args.pyramid_config,
+        backend=args.backend,
+    )
+
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    md = generate_markdown_table(results)
+    (out_dir / "verification_results.md").write_text(md)
+    save_results_json(results, out_dir / "verification_results.json")
+    print("\n" + md)
+
+    if not args.no_visualizations:
+        try:
+            from tpuflow.eval import visualize
+
+            for r in results:
+                if r["pattern_name"] in ("translate_medium", "rotate_small",
+                                         "translate_extreme"):
+                    visualize.save_pattern_plots(r, out_dir / "plots")
+        except Exception as exc:  # matplotlib optional
+            print(f"(visualizations skipped: {exc})")
+
+    if args.update_baseline:
+        update_baseline(results, Path(args.baseline))
+
+    if args.compare_baseline:
+        ok = compare_against_baseline(
+            results, Path(args.baseline), args.regression_threshold
+        )
+        if not ok:
+            print("\nRegression detected! Review changes before committing.")
+            sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

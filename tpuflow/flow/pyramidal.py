@@ -1,0 +1,99 @@
+"""Pyramidal (coarse-to-fine) Lucas-Kanade dense flow.
+
+TPU-native equivalent of the reference's pyramidal path — the Python
+golden model (python/lucas_kanade_pyramidal.py:141-228) and the RTL
+pyramid_control_fsm sequence BUILD -> SOLVE_L0 -> UPSAMPLE -> WARP ->
+SOLVE -> ACCUM per level (rtl/unopt/pyramid_control_fsm.sv:59-152). The
+RTL's 12-state FSM becomes ordinary traced control flow: a static Python
+loop over levels (shapes differ per level) and a ``lax.while_loop`` over
+refinement iterations with the reference's early-exit test.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tpuflow.core.config import PyramidConfig
+from tpuflow.flow.single_scale import Backend, lucas_kanade_single_scale
+from tpuflow.kernels import jnp_ref
+
+
+def _refine_level(
+    img_prev: jax.Array,
+    img_curr: jax.Array,
+    flow_u: jax.Array,
+    flow_v: jax.Array,
+    cfg: PyramidConfig,
+    backend: Backend,
+) -> tuple[jax.Array, jax.Array]:
+    """Iterative warp -> residual-LK -> accumulate at one pyramid level.
+
+    Matches reference python/lucas_kanade_pyramidal.py:201-223: the
+    residual is always accumulated, then the loop exits early once both
+    mean |du| and mean |dv| drop below the convergence threshold.
+    """
+
+    def cond(state):
+        _, _, i, converged = state
+        return jnp.logical_and(i < cfg.iterations, jnp.logical_not(converged))
+
+    def body(state):
+        u, v, i, _ = state
+        warped = jnp_ref.warp_image(img_curr, u, v)
+        du, dv = lucas_kanade_single_scale(
+            img_prev,
+            warped,
+            cfg.window_size,
+            det_threshold=cfg.det_threshold,
+            backend=backend,
+        )
+        u = u + du
+        v = v + dv
+        converged = jnp.logical_and(
+            jnp.mean(jnp.abs(du)) < cfg.convergence_threshold,
+            jnp.mean(jnp.abs(dv)) < cfg.convergence_threshold,
+        )
+        return u, v, i + 1, converged
+
+    init = (flow_u, flow_v, jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    u, v, _, _ = jax.lax.while_loop(cond, body, init)
+    return u, v
+
+
+def lucas_kanade_pyramidal(
+    frame_prev: jax.Array,
+    frame_curr: jax.Array,
+    num_levels: int = 3,
+    window_size: int = 5,
+    num_iterations: int = 3,
+    *,
+    config: PyramidConfig | None = None,
+    backend: Backend = "jnp",
+) -> tuple[jax.Array, jax.Array]:
+    """Coarse-to-fine dense flow, reference-parity semantics.
+
+    Matches reference python/lucas_kanade_pyramidal.py:141-228: Gaussian
+    pyramids (sigma = 1/scale smoothing + linspace bilinear resample),
+    zero flow at the coarsest level, per level upsample-and-scale then
+    ``num_iterations`` x (warp, residual LK, accumulate) with early exit.
+    """
+    cfg = config or PyramidConfig(
+        levels=num_levels, window_size=window_size, iterations=num_iterations
+    )
+
+    pyr_prev = jnp_ref.build_gaussian_pyramid(frame_prev, cfg.levels, cfg.scale_factor)
+    pyr_curr = jnp_ref.build_gaussian_pyramid(frame_curr, cfg.levels, cfg.scale_factor)
+
+    h0, w0 = pyr_prev[0].shape
+    flow_u = jnp.zeros((h0, w0), frame_prev.dtype)
+    flow_v = jnp.zeros((h0, w0), frame_prev.dtype)
+
+    for level in range(cfg.levels):
+        img_prev = pyr_prev[level]
+        img_curr = pyr_curr[level]
+        if level > 0:
+            flow_u, flow_v = jnp_ref.upsample_flow(flow_u, flow_v, img_prev.shape)
+        flow_u, flow_v = _refine_level(img_prev, img_curr, flow_u, flow_v, cfg, backend)
+
+    return flow_u, flow_v
