@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""tpuflow headline benchmark: pyramidal Lucas-Kanade at 1080p, one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload (BASELINE.json config 4): 3-level pyramidal LK on natural
+mountain-texture frames at 1080p, fast TPU path (fused Pallas LK kernel +
+banded Pallas warp; for the 2 px test motion the fast path is numerically
+identical to the reference-parity path — the RTL-style +-8 px clamp never
+engages).
+
+``vs_baseline``: the reference FPGA accelerator achieved ~100 fps at
+320x240 *single-scale* (7.7 MHz achieved clock, 76,800 cycles/frame;
+BASELINE.md "Frame throughput"). vs_baseline = our 1080p *pyramidal*
+fps / 100 — i.e. how many times faster than the reference hardware's
+achieved frame rate, while processing 27x more pixels per frame and the
+full coarse-to-fine pyramid instead of one scale.
+
+Timing methodology: the axon tunnel's ``block_until_ready`` does not
+synchronize with device execution, so dispatch-loop timing reads ~0.
+We time a jitted ``lax.fori_loop`` that chains N pyramidal solves through
+a data dependency and force a scalar readback; the first timed call is
+discarded (tunnel warm-up).
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
+import numpy as np
+
+
+def make_frames(height=1080, width=1920, dx=2.0, dy=0.0):
+    """Natural texture frame pair with known sub-pixel motion (the
+    reference's RTL-sim scenario: generate_test_frames_natural.py with
+    --displacement-x 2)."""
+    from PIL import Image
+    from scipy.ndimage import shift as nd_shift
+
+    from tpuflow.eval.patterns import DEFAULT_TEXTURE
+
+    img = Image.open(DEFAULT_TEXTURE).convert("L").resize(
+        (width, height), Image.Resampling.BILINEAR
+    )
+    f0 = np.array(img, dtype=np.float32)
+    f1 = nd_shift(f0, (dy, dx), order=1, mode="constant", cval=128.0).astype(
+        np.float32
+    )
+    return f0, f1
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from tpuflow.flow import lucas_kanade_pyramidal
+
+    h, w = 1080, 1920
+    f0, f1 = make_frames(h, w)
+    a = jnp.asarray(f0)
+    b = jnp.asarray(f1)
+
+    n = 20
+
+    @jax.jit
+    def loop(a, b):
+        def body(i, carry):
+            u, v = lucas_kanade_pyramidal(a + carry * 1e-9, b, backend="pallas")
+            return u
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((h, w), jnp.float32))[0, 9]
+
+    float(loop(a, b))  # compile
+    float(loop(a, b))  # tunnel warm-up
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(loop(a, b))
+        best = min(best, (time.perf_counter() - t0) / n)
+
+    fps = 1.0 / best
+    print(
+        json.dumps(
+            {
+                "metric": "pyramidal_lk_1080p_fps_per_chip",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / 100.0, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

@@ -1,0 +1,148 @@
+"""Pallas kernel equivalence tests (interpret mode on CPU — the analog of
+the reference testing RTL without a board, SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from tpuflow.kernels import jnp_ref, pallas_lk
+
+
+def _jnp_lk(prev, curr, window=5):
+    ix, iy, it = jnp_ref.compute_gradients(prev, curr)
+    return jnp_ref.lucas_kanade_from_gradients(ix, iy, it, window_size=window)
+
+
+@pytest.mark.parametrize("shape", [(48, 64), (240, 320), (56, 200)])
+def test_fused_lk_matches_jnp(shape, rng):
+    from scipy.ndimage import gaussian_filter
+
+    prev = gaussian_filter(
+        rng.uniform(0, 255, shape).astype(np.float32), 2.0
+    ).astype(np.float32)
+    curr = gaussian_filter(
+        rng.uniform(0, 255, shape).astype(np.float32), 2.0
+    ).astype(np.float32)
+    ru, rv = _jnp_lk(jnp.asarray(prev), jnp.asarray(curr))
+    with pltpu.force_tpu_interpret_mode():
+        mu, mv = pallas_lk.lucas_kanade_fused(jnp.asarray(prev), jnp.asarray(curr))
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(ru), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(mv), np.asarray(rv), atol=1e-3)
+
+
+def test_fused_lk_multi_tile(rng):
+    # Force several row tiles to exercise the halo DMA path.
+    from scipy.ndimage import gaussian_filter
+
+    prev = gaussian_filter(
+        rng.uniform(0, 255, (96, 144)).astype(np.float32), 2.0
+    ).astype(np.float32)
+    curr = gaussian_filter(
+        rng.uniform(0, 255, (96, 144)).astype(np.float32), 2.0
+    ).astype(np.float32)
+    ru, rv = _jnp_lk(jnp.asarray(prev), jnp.asarray(curr))
+    with pltpu.force_tpu_interpret_mode():
+        mu, mv = pallas_lk.lucas_kanade_fused(
+            jnp.asarray(prev), jnp.asarray(curr), tile_rows=32
+        )
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(ru), atol=1e-3)
+
+
+def test_fused_lk_ragged_height(rng):
+    # Height not divisible by tile_rows: grid overhang rows are computed
+    # on zero padding and trimmed.
+    from scipy.ndimage import gaussian_filter
+
+    prev = gaussian_filter(
+        rng.uniform(0, 255, (52, 64)).astype(np.float32), 2.0
+    ).astype(np.float32)
+    curr = gaussian_filter(
+        rng.uniform(0, 255, (52, 64)).astype(np.float32), 2.0
+    ).astype(np.float32)
+    ru, rv = _jnp_lk(jnp.asarray(prev), jnp.asarray(curr))
+    with pltpu.force_tpu_interpret_mode():
+        mu, mv = pallas_lk.lucas_kanade_fused(
+            jnp.asarray(prev), jnp.asarray(curr), tile_rows=32
+        )
+    assert mu.shape == (52, 64)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(ru), atol=1e-3)
+
+
+def test_large_window_rejected():
+    z = jnp.zeros((32, 32), jnp.float32)
+    with pytest.raises(ValueError, match="window_size <= 5"):
+        pallas_lk.lucas_kanade_fused(z, z, window_size=7)
+
+
+def test_backend_dispatch(rng):
+    from tpuflow.flow import lucas_kanade_single_scale
+
+    prev = rng.uniform(0, 255, (48, 64)).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        u, v = lucas_kanade_single_scale(
+            jnp.asarray(prev), jnp.asarray(prev), backend="pallas"
+        )
+    assert np.all(np.asarray(u) == 0)
+
+
+class TestBandedWarp:
+    """Banded Pallas warp vs the jnp map_coordinates-parity warp."""
+
+    def _pair(self, rng, h=56, w=200, umax=7.5, vmax=7.5):
+        img = rng.uniform(0, 255, (h, w)).astype(np.float32)
+        u = rng.uniform(-umax, umax, (h, w)).astype(np.float32)
+        v = rng.uniform(-vmax, vmax, (h, w)).astype(np.float32)
+        return img, u, v
+
+    def test_matches_jnp_warp_in_band(self, rng):
+        from tpuflow.kernels import pallas_warp
+
+        img, u, v = self._pair(rng)
+        ref = np.asarray(jnp_ref.warp_image(jnp.asarray(img), jnp.asarray(u), jnp.asarray(v)))
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(
+                pallas_warp.warp_image_banded(
+                    jnp.asarray(img), jnp.asarray(u), jnp.asarray(v), max_disp=8
+                )
+            )
+        np.testing.assert_allclose(got, ref, atol=1e-3)
+
+    def test_large_horizontal_displacement_exact(self, rng):
+        # u is unbounded (up to a 128-lane block); only v is banded.
+        from tpuflow.kernels import pallas_warp
+
+        img, u, v = self._pair(rng, umax=60.0, vmax=7.5)
+        ref = np.asarray(jnp_ref.warp_image(jnp.asarray(img), jnp.asarray(u), jnp.asarray(v)))
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(
+                pallas_warp.warp_image_banded(
+                    jnp.asarray(img), jnp.asarray(u), jnp.asarray(v), max_disp=8
+                )
+            )
+        np.testing.assert_allclose(got, ref, atol=1e-3)
+
+    def test_out_of_band_vertical_reads_zero(self, rng):
+        from tpuflow.kernels import pallas_warp
+
+        img = rng.uniform(1, 255, (48, 128)).astype(np.float32)
+        u = np.zeros((48, 128), np.float32)
+        v = np.full((48, 128), 12.0, np.float32)  # beyond max_disp=8 band
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(
+                pallas_warp.warp_image_banded(
+                    jnp.asarray(img), jnp.asarray(u), jnp.asarray(v), max_disp=8
+                )
+            )
+        assert np.all(got == 0.0)
+
+    def test_zero_flow_is_identity(self, rng):
+        from tpuflow.kernels import pallas_warp
+
+        img = rng.uniform(0, 255, (48, 160)).astype(np.float32)
+        z = np.zeros_like(img)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(
+                pallas_warp.warp_image_banded(jnp.asarray(img), jnp.asarray(z), jnp.asarray(z))
+            )
+        np.testing.assert_allclose(got, img, atol=1e-4)

@@ -29,6 +29,12 @@ class PyramidConfig:
     # Texture gate on the structure-tensor determinant
     # (reference: python/lucas_kanade_core.py:131).
     det_threshold: float = 1e-4
+    # Fast-path (backend="pallas") per-level flow saturation in pixels —
+    # the analog of the RTL's S8.7 +-8 px solver clamp
+    # (rtl/unopt/flow_solver.sv:134-144). Inactive for motions within the
+    # band, where the fast path matches the parity path exactly. The jnp
+    # parity path never clamps (golden-model semantics).
+    max_disp: int = 8
     description: str = ""
 
 

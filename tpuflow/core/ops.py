@@ -27,23 +27,48 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Reference-parity ops must not be demoted to bf16 MXU passes on TPU —
-# the accuracy gate is float32-vs-float32 within 10%.
-_HIGHEST = jax.lax.Precision.HIGHEST
+# Small-kernel 2-D correlations are computed as unrolled shifted
+# multiply-adds rather than lax.conv: XLA fuses them into one VPU pass,
+# they stay exact f32 (lax.conv at default precision demotes to bf16 MXU
+# passes on TPU; at Precision.HIGHEST it is ~50x slower than shifts),
+# and the accuracy gate is float32-vs-float32 within 10%.
 
 
-def _conv2d_valid(x: jax.Array, k: jax.Array) -> jax.Array:
-    """VALID-mode 2-D correlation of a single-channel image, f32-exact."""
-    out = jax.lax.conv_general_dilated(
-        x[None, None, :, :],
-        k[None, None, :, :],
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=_HIGHEST,
-        preferred_element_type=x.dtype,
-    )
-    return out[0, 0]
+def _corr2d_valid(x: jax.Array, k: np.ndarray | jax.Array) -> jax.Array:
+    """VALID-mode 2-D correlation via unrolled static shifts, f32-exact."""
+    k = np.asarray(k)
+    kh, kw = k.shape
+    oh, ow = x.shape[0] - kh + 1, x.shape[1] - kw + 1
+    out = None
+    for i in range(kh):
+        for j in range(kw):
+            w = float(k[i, j])
+            if w == 0.0:
+                continue
+            term = w * jax.lax.slice(x, (i, j), (i + oh, j + ow))
+            out = term if out is None else out + term
+    assert out is not None
+    return out
+
+
+def _corr1d_valid(x: jax.Array, taps: np.ndarray, axis: int) -> jax.Array:
+    """VALID-mode 1-D correlation along ``axis`` via unrolled shifts."""
+    n = len(taps)
+    if axis == 0:
+        oh = x.shape[0] - n + 1
+        out = float(taps[0]) * jax.lax.slice(x, (0, 0), (oh, x.shape[1]))
+        for i in range(1, n):
+            out = out + float(taps[i]) * jax.lax.slice(
+                x, (i, 0), (i + oh, x.shape[1])
+            )
+    else:
+        ow = x.shape[1] - n + 1
+        out = float(taps[0]) * jax.lax.slice(x, (0, 0), (x.shape[0], ow))
+        for i in range(1, n):
+            out = out + float(taps[i]) * jax.lax.slice(
+                x, (0, i), (x.shape[0], i + ow)
+            )
+    return out
 
 
 def conv2d_symm(img: jax.Array, kernel: np.ndarray) -> jax.Array:
@@ -58,10 +83,10 @@ def conv2d_symm(img: jax.Array, kernel: np.ndarray) -> jax.Array:
     kh, kw = kernel.shape
     assert kh % 2 == 1 and kw % 2 == 1, "odd kernels only"
     ph, pw = kh // 2, kw // 2
-    flipped = jnp.asarray(np.ascontiguousarray(kernel[::-1, ::-1]), img.dtype)
+    flipped = np.ascontiguousarray(kernel[::-1, ::-1])
     padded = jnp.pad(img, ((ph, ph), (pw, pw)), mode="symmetric")
     # Correlation with the flipped kernel == true convolution.
-    return _conv2d_valid(padded, flipped)
+    return _corr2d_valid(padded, flipped)
 
 
 @functools.lru_cache(maxsize=None)
@@ -88,13 +113,11 @@ def gaussian_filter(img: jax.Array, sigma: float, truncate: float = 4.0) -> jax.
     """
     taps = gaussian_kernel1d(sigma, truncate).astype(np.float32)
     r = len(taps) // 2
-    k = jnp.asarray(taps, img.dtype)
 
-    # Rows then columns, each as a rank-4 conv for XLA.
     padded = jnp.pad(img, ((r, r), (0, 0)), mode="symmetric")
-    out = _conv2d_valid(padded, k[:, None])
+    out = _corr1d_valid(padded, taps, axis=0)
     padded = jnp.pad(out, ((0, 0), (r, r)), mode="symmetric")
-    return _conv2d_valid(padded, k[None, :])
+    return _corr1d_valid(padded, taps, axis=1)
 
 
 def map_coordinates_bilinear(
@@ -184,9 +207,9 @@ def uniform_window_sum_valid(img: jax.Array, window: int) -> jax.Array:
     Gaussian weighting; the reference README mentions Gaussian weights but
     the authoritative code does not apply them).
     """
-    ones = jnp.ones((window,), img.dtype)
-    out = _conv2d_valid(img, ones[:, None])
-    return _conv2d_valid(out, ones[None, :])
+    ones = np.ones((window,), np.float32)
+    out = _corr1d_valid(img, ones, axis=0)
+    return _corr1d_valid(out, ones, axis=1)
 
 
 def gaussian_window_kernel(window: int, sigma: float) -> np.ndarray:
@@ -206,4 +229,4 @@ def gaussian_window_kernel(window: int, sigma: float) -> np.ndarray:
 
 def weighted_window_sum_valid(img: jax.Array, weights: np.ndarray) -> jax.Array:
     """'valid' weighted window sum with a static 2-D weight kernel."""
-    return _conv2d_valid(img, jnp.asarray(weights, img.dtype))
+    return _corr2d_valid(img, weights)

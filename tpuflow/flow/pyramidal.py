@@ -40,7 +40,18 @@ def _refine_level(
 
     def body(state):
         u, v, i, _ = state
-        warped = jnp_ref.warp_image(img_curr, u, v)
+        if backend == "pallas":
+            from tpuflow.kernels import pallas_warp
+
+            # RTL-style saturation keeps the vertical displacement inside
+            # the warp kernel's band; a no-op for in-band motion.
+            u = jnp.clip(u, -cfg.max_disp, cfg.max_disp)
+            v = jnp.clip(v, -cfg.max_disp, cfg.max_disp)
+            warped = pallas_warp.warp_image_banded(
+                img_curr, u, v, max_disp=cfg.max_disp
+            )
+        else:
+            warped = jnp_ref.warp_image(img_curr, u, v)
         du, dv = lucas_kanade_single_scale(
             img_prev,
             warped,
