@@ -22,8 +22,10 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # Function-scoped: every test sees the same deterministic stream
+    # regardless of which other tests ran before it.
     return np.random.default_rng(1234)
 
 
@@ -39,8 +41,9 @@ def frame_pair():
 
 
 @pytest.fixture(scope="session")
-def small_frame_pair(rng):
+def small_frame_pair():
     """Small random textured pair for fast kernel tests."""
+    rng = np.random.default_rng(99)
     base = rng.uniform(0.0, 255.0, (64, 96)).astype(np.float32)
     from scipy.ndimage import gaussian_filter, shift
 

@@ -18,8 +18,8 @@ from tpuflow.kernels import jnp_ref
 
 
 @pytest.fixture(scope="module")
-def img(rng):
-    return rng.uniform(0.0, 255.0, (57, 83)).astype(np.float32)
+def img():
+    return np.random.default_rng(7).uniform(0.0, 255.0, (57, 83)).astype(np.float32)
 
 
 def test_conv2d_symm_matches_convolve2d(img):

@@ -1,0 +1,289 @@
+"""Visual-odometry back-end tests: SE(3) utilities, flow-based tracking,
+pose-graph optimization, and bundle adjustment on synthetic problems
+with known ground truth."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from tpuflow.vo import se3, tracking, pose_graph, ba
+
+
+# ---------------------------------------------------------------------------
+# SE(3)
+# ---------------------------------------------------------------------------
+
+
+def test_so3_exp_log_roundtrip(rng):
+    for _ in range(5):
+        phi = rng.normal(0, 0.5, 3).astype(np.float32)
+        r = se3.so3_exp(jnp.asarray(phi))
+        back = np.asarray(se3.so3_log(r))
+        np.testing.assert_allclose(back, phi, atol=1e-4)
+
+
+def test_so3_exp_is_rotation(rng):
+    phi = jnp.asarray(rng.normal(0, 1.0, 3).astype(np.float32))
+    r = np.asarray(se3.so3_exp(phi))
+    np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-5)
+    assert abs(np.linalg.det(r) - 1.0) < 1e-5
+
+
+def test_se3_compose_inverse(rng):
+    xi = jnp.asarray(rng.normal(0, 0.3, 6).astype(np.float32))
+    r, t = se3.se3_exp(xi)
+    ri, ti = se3.inverse(r, t)
+    rc, tc = se3.compose(r, t, ri, ti)
+    np.testing.assert_allclose(np.asarray(rc), np.eye(3), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tc), 0, atol=1e-5)
+
+
+def test_small_angle_stability():
+    r, t = se3.se3_exp(jnp.zeros(6))
+    np.testing.assert_allclose(np.asarray(r), np.eye(3), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(t), 0, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# Tracking
+# ---------------------------------------------------------------------------
+
+
+def test_seed_and_advance(frame_pair):
+    prev, curr = frame_pair
+    tracks = tracking.seed_grid(jnp.asarray(prev), grid_step=16)
+    assert int(tracks.alive.sum()) > 50  # textured image: most cells alive
+
+    # Constant 2 px rightward flow moves every track by +2 in x.
+    h, w = prev.shape
+    u = jnp.full((h, w), 2.0)
+    v = jnp.zeros((h, w))
+    t2 = tracking.advance(tracks, u, v)
+    moved = np.asarray(t2.xy - tracks.xy)[np.asarray(t2.alive)]
+    np.testing.assert_allclose(moved[:, 0], 2.0, atol=1e-5)
+    np.testing.assert_allclose(moved[:, 1], 0.0, atol=1e-5)
+
+
+def test_tracks_die_outside(frame_pair):
+    prev, _ = frame_pair
+    h, w = prev.shape
+    tracks = tracking.seed_grid(jnp.asarray(prev), grid_step=16)
+    u = jnp.full((h, w), 1e4)  # everything leaves the frame
+    t2 = tracking.advance(tracks, u, jnp.zeros((h, w)))
+    assert int(t2.alive.sum()) == 0
+
+
+def test_end_to_end_flow_tracking(frame_pair):
+    """Dense flow from the real pipeline drives tracks by ~the true 2 px."""
+    from tpuflow.flow import lucas_kanade_pyramidal
+
+    prev, curr = frame_pair
+    u, v = lucas_kanade_pyramidal(jnp.asarray(prev), jnp.asarray(curr))
+    tracks = tracking.seed_grid(jnp.asarray(prev), grid_step=16)
+    t2 = tracking.advance(tracks, u, v)
+    alive = np.asarray(t2.alive)
+    dx = np.asarray(t2.xy - tracks.xy)[alive]
+    # translate_medium ground truth is (2, 0); LK underestimates but the
+    # median track motion must be clearly rightward.
+    assert 0.3 < np.median(dx[:, 0]) < 3.0
+    assert abs(np.median(dx[:, 1])) < 0.5
+
+
+# ---------------------------------------------------------------------------
+# Pose graph
+# ---------------------------------------------------------------------------
+
+
+def _random_pose(rng, scale=0.5):
+    xi = rng.normal(0, scale, 6).astype(np.float32)
+    return se3.se3_exp(jnp.asarray(xi))
+
+
+def test_pose_graph_converges_to_ground_truth(rng):
+    k = 6
+    # Ground-truth chain of poses.
+    gt = [se3.se3_exp(jnp.zeros(6))]
+    for _ in range(k - 1):
+        dr, dt = _random_pose(rng, 0.3)
+        gt.append(se3.compose(gt[-1][0], gt[-1][1], dr, dt))
+    gt_r = jnp.stack([g[0] for g in gt])
+    gt_t = jnp.stack([g[1] for g in gt])
+
+    # Edges: consecutive odometry + one loop closure, exact measurements.
+    ei, ej, er, et = [], [], [], []
+    for i in range(k - 1):
+        rij, tij = se3.compose(*se3.inverse(gt_r[i], gt_t[i]), gt_r[i + 1], gt_t[i + 1])
+        ei.append(i); ej.append(i + 1); er.append(rij); et.append(tij)
+    rij, tij = se3.compose(*se3.inverse(gt_r[0], gt_t[0]), gt_r[k - 1], gt_t[k - 1])
+    ei.append(0); ej.append(k - 1); er.append(rij); et.append(tij)
+
+    # Initialize with perturbed poses (node 0 at ground truth = gauge).
+    init_r, init_t = [gt_r[0]], [gt_t[0]]
+    for i in range(1, k):
+        dr, dt = _random_pose(rng, 0.1)
+        r2, t2 = se3.compose(gt_r[i], gt_t[i], dr, dt)
+        init_r.append(r2); init_t.append(t2)
+
+    g = pose_graph.PoseGraph(
+        poses_r=jnp.stack(init_r),
+        poses_t=jnp.stack(init_t),
+        edge_i=jnp.asarray(ei, jnp.int32),
+        edge_j=jnp.asarray(ej, jnp.int32),
+        edge_r=jnp.stack(er),
+        edge_t=jnp.stack(et),
+        edge_valid=jnp.ones(len(ei), bool),
+        edge_weight=jnp.ones(len(ei)),
+    )
+    r0 = float(jnp.abs(pose_graph.residuals(g)).max())
+    g = pose_graph.solve(g, iterations=15)
+    r1 = float(jnp.abs(pose_graph.residuals(g)).max())
+    assert r1 < 1e-3, (r0, r1)
+    np.testing.assert_allclose(np.asarray(g.poses_t), np.asarray(gt_t), atol=1e-2)
+
+
+# ---------------------------------------------------------------------------
+# Bundle adjustment
+# ---------------------------------------------------------------------------
+
+
+def _make_ba_problem(rng, k=4, m=40, noise=0.0, perturb=0.05):
+    intr = jnp.asarray([500.0, 500.0, 320.0, 240.0])
+    landmarks = np.stack(
+        [
+            rng.uniform(-2, 2, m),
+            rng.uniform(-1.5, 1.5, m),
+            rng.uniform(4, 8, m),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    poses = []
+    for i in range(k):
+        xi = np.zeros(6, np.float32)
+        xi[0] = 0.3 * i  # sideways translation
+        xi[4] = 0.02 * i
+        poses.append(se3.se3_exp(jnp.asarray(xi)))
+    gt_r = jnp.stack([p[0] for p in poses])
+    gt_t = jnp.stack([p[1] for p in poses])
+
+    cams, lms, uvs = [], [], []
+    for c in range(k):
+        for l in range(m):
+            uv = ba.project(gt_r[c], gt_t[c], jnp.asarray(landmarks[l]), intr)
+            uvs.append(np.asarray(uv) + rng.normal(0, noise, 2))
+            cams.append(c); lms.append(l)
+
+    # Perturb everything except cameras 0 and 1 (7-DOF monocular gauge:
+    # pose of one camera + global scale -> pin two).
+    pr, pt = [gt_r[0], gt_r[1]], [gt_t[0], gt_t[1]]
+    for c in range(2, k):
+        dr, dt = se3.se3_exp(jnp.asarray(rng.normal(0, perturb, 6).astype(np.float32)))
+        r2, t2 = se3.compose(dr, dt, gt_r[c], gt_t[c])
+        pr.append(r2); pt.append(t2)
+    lm_init = landmarks + rng.normal(0, perturb, landmarks.shape).astype(np.float32)
+
+    problem = ba.BAProblem(
+        poses_r=jnp.stack(pr),
+        poses_t=jnp.stack(pt),
+        landmarks=jnp.asarray(lm_init),
+        obs_uv=jnp.asarray(np.array(uvs, np.float32)),
+        obs_cam=jnp.asarray(cams, jnp.int32),
+        obs_lm=jnp.asarray(lms, jnp.int32),
+        obs_valid=jnp.ones(len(cams), bool),
+        intrinsics=intr,
+    )
+    return problem, (gt_r, gt_t, jnp.asarray(landmarks))
+
+
+def test_ba_reduces_reprojection_error(rng):
+    problem, _ = _make_ba_problem(rng)
+    e0 = float(ba.reprojection_errors(problem).mean())
+    solved = ba.solve(problem, iterations=8)
+    e1 = float(ba.reprojection_errors(solved).mean())
+    assert e0 > 1.0
+    assert e1 < 0.05, (e0, e1)
+
+
+def test_ba_recovers_ground_truth_poses(rng):
+    problem, (gt_r, gt_t, gt_lm) = _make_ba_problem(rng)
+    # Monocular gauge is 7-DOF (pose + scale): pin two cameras at their
+    # ground-truth poses so the recovered geometry is fully determined.
+    solved = ba.solve(problem, iterations=12, damping=1e-5, fixed_cams=(0, 1))
+    np.testing.assert_allclose(np.asarray(solved.poses_t), np.asarray(gt_t), atol=1e-2)
+
+
+def test_ba_robust_to_outliers(rng):
+    problem, _ = _make_ba_problem(rng)
+    uv = np.array(problem.obs_uv)  # writable copy
+    uv[::17] += 300.0  # gross outliers
+    problem = problem._replace(obs_uv=jnp.asarray(uv))
+    solved = ba.solve(problem, iterations=10, huber_delta=2.0)
+    e = np.asarray(ba.reprojection_errors(solved))
+    inliers = np.ones(len(e), bool)
+    inliers[::17] = False
+    assert e[inliers].mean() < 0.3
+
+
+def test_ba_distributed_matches_single(rng):
+    """Sharded-observations BA (psum reduced camera system) reaches the
+    same optimum as the replicated solver.
+
+    Step-for-step equality is not expected: the Schur complement
+    cancels most of the normal equations' magnitude in this dense-
+    visibility problem, so f32 summation-order differences between the
+    per-shard partial sums and the global scatter-add perturb a single
+    step at the 1e-2 level. Both paths must converge to the same
+    solution.
+    """
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    import functools
+    from jax import shard_map
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    problem, _ = _make_ba_problem(rng)
+    single = ba.solve(problem, iterations=6)
+
+    devices = np.array(jax.devices()[:4])
+    mesh = Mesh(devices, ("obs",))
+    n = problem.obs_uv.shape[0]
+    pad = (-n) % 4
+    padded = problem._replace(
+        obs_uv=jnp.pad(problem.obs_uv, ((0, pad), (0, 0))),
+        obs_cam=jnp.pad(problem.obs_cam, (0, pad)),
+        obs_lm=jnp.pad(problem.obs_lm, (0, pad)),
+        obs_valid=jnp.pad(problem.obs_valid, (0, pad)),
+    )
+    k = problem.poses_r.shape[0]
+    m = problem.landmarks.shape[0]
+
+    obs_spec = P("obs")
+    rep = P()
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(rep, rep, rep, obs_spec, obs_spec, obs_spec, obs_spec, rep),
+        out_specs=(rep, rep, rep),
+        check_rep=False,
+    )
+    def step(pr, pt, lm, uv, cam, lmi, valid, intr):
+        prob = ba.BAProblem(pr, pt, lm, uv, cam, lmi, valid, intr)
+        for _ in range(6):
+            prob = ba.gauss_newton_step(
+                prob, axis_name="obs", num_cams=k, num_lms=m
+            )
+        return prob.poses_r, prob.poses_t, prob.landmarks
+
+    pr, pt, lm = jax.jit(step)(
+        padded.poses_r, padded.poses_t, padded.landmarks,
+        padded.obs_uv, padded.obs_cam, padded.obs_lm, padded.obs_valid,
+        padded.intrinsics,
+    )
+    dist = problem._replace(poses_r=pr, poses_t=pt, landmarks=lm)
+    e_dist = float(ba.reprojection_errors(dist).mean())
+    e_single = float(ba.reprojection_errors(single).mean())
+    assert e_dist < 0.05 and e_single < 0.05, (e_dist, e_single)
+    np.testing.assert_allclose(
+        np.asarray(pt), np.asarray(single.poses_t), atol=2e-2
+    )

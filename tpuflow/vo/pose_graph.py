@@ -1,0 +1,99 @@
+"""Keyframe pose-graph optimization (SE(3) relative-pose constraints).
+
+Gauss-Newton over keyframe poses with edges measuring relative
+transforms (odometry from tracked flow, loop closures). Jacobians via
+``jax.jacfwd`` at the identity tangent, dense normal equations
+(6K x 6K — keyframe counts are small), gauge fixed with a prior on node
+0. Fully jittable with a fixed-size edge table + validity mask.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpuflow.vo import se3
+
+
+
+class PoseGraph(NamedTuple):
+    poses_r: jax.Array   # (K, 3, 3)
+    poses_t: jax.Array   # (K, 3)
+    edge_i: jax.Array    # (E,) int32 source node
+    edge_j: jax.Array    # (E,) int32 target node
+    edge_r: jax.Array    # (E, 3, 3) measured R_ij (i -> j)
+    edge_t: jax.Array    # (E, 3) measured t_ij
+    edge_valid: jax.Array  # (E,) bool
+    edge_weight: jax.Array  # (E,) float32 information scale
+
+
+def _edge_residual(xi_i, xi_j, ri, ti, rj, tj, rm, tm):
+    """log( Z_ij^-1 * T_i^-1 * T_j ) with tangent perturbations applied."""
+    ri2, ti2 = se3.retract(ri, ti, xi_i)
+    rj2, tj2 = se3.retract(rj, tj, xi_j)
+    rrel, trel = se3.compose(*se3.inverse(ri2, ti2), rj2, tj2)
+    rerr, terr = se3.compose(*se3.inverse(rm, tm), rrel, trel)
+    return jnp.concatenate([terr, se3.so3_log(rerr)])
+
+
+def residuals(g: PoseGraph) -> jax.Array:
+    """(E, 6) constraint residuals (invalid edges read 0)."""
+    zero = jnp.zeros(6)
+
+    def one(i, j, rm, tm):
+        return _edge_residual(
+            zero, zero, g.poses_r[i], g.poses_t[i], g.poses_r[j], g.poses_t[j],
+            rm, tm,
+        )
+
+    r = jax.vmap(one)(g.edge_i, g.edge_j, g.edge_r, g.edge_t)
+    return jnp.where(g.edge_valid[:, None], r, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("num_nodes",))
+def gauss_newton_step(
+    g: PoseGraph, damping: float = 1e-6, num_nodes: int | None = None
+) -> PoseGraph:
+    k = num_nodes or g.poses_r.shape[0]
+    zero = jnp.zeros(6)
+
+    def one(i, j, rm, tm):
+        args = (g.poses_r[i], g.poses_t[i], g.poses_r[j], g.poses_t[j], rm, tm)
+        r = _edge_residual(zero, zero, *args)
+        ji = jax.jacfwd(_edge_residual, argnums=0)(zero, zero, *args)
+        jj = jax.jacfwd(_edge_residual, argnums=1)(zero, zero, *args)
+        return r, ji, jj
+
+    res, ji, jj = jax.vmap(one)(g.edge_i, g.edge_j, g.edge_r, g.edge_t)
+    w = jnp.where(g.edge_valid, g.edge_weight, 0.0)
+
+    hii = jnp.einsum("eia,eib->eab", ji, ji) * w[:, None, None]
+    hjj = jnp.einsum("eia,eib->eab", jj, jj) * w[:, None, None]
+    hij = jnp.einsum("eia,eib->eab", ji, jj) * w[:, None, None]
+    bi = -jnp.einsum("eia,ei->ea", ji, res) * w[:, None]
+    bj = -jnp.einsum("eia,ei->ea", jj, res) * w[:, None]
+
+    h = jnp.zeros((k, 6, k, 6))
+    h = h.at[g.edge_i, :, g.edge_i, :].add(hii)
+    h = h.at[g.edge_j, :, g.edge_j, :].add(hjj)
+    h = h.at[g.edge_i, :, g.edge_j, :].add(hij)
+    h = h.at[g.edge_j, :, g.edge_i, :].add(jnp.swapaxes(hij, 1, 2))
+    b = jnp.zeros((k, 6)).at[g.edge_i].add(bi).at[g.edge_j].add(bj)
+
+    hd = h.reshape(6 * k, 6 * k) + damping * jnp.eye(6 * k)
+    # Gauge fixing by exact elimination: node 0 gets dx = 0.
+    hd = hd.at[:6, :].set(0.0).at[:, :6].set(0.0).at[:6, :6].set(jnp.eye(6))
+    bb = b.reshape(6 * k).at[:6].set(0.0)
+
+    dx = jnp.linalg.solve(hd, bb).reshape(k, 6)
+    new_r, new_t = jax.vmap(se3.retract)(g.poses_r, g.poses_t, dx)
+    return g._replace(poses_r=new_r, poses_t=new_t)
+
+
+def solve(g: PoseGraph, iterations: int = 10, damping: float = 1e-6) -> PoseGraph:
+    for _ in range(iterations):
+        g = gauss_newton_step(g, damping=damping)
+    return g

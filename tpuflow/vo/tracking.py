@@ -1,0 +1,111 @@
+"""Flow-based feature tracking (the VO front-end).
+
+Connects the dense-flow engine to the pose-graph/BA back-end: features
+are seeded on a grid, scored with the Shi-Tomasi minimum eigenvalue of
+the same 5x5 structure tensor the LK solver builds (reference analog:
+the |det| texture gate, python/lucas_kanade_core.py:131, strengthened to
+min-eig), and advanced each frame by bilinear sampling of the dense flow
+field. Everything is static-shape (fixed feature count + validity mask)
+so tracking steps jit and scan.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpuflow.core import ops
+from tpuflow.kernels import jnp_ref
+
+
+class Tracks(NamedTuple):
+    """A fixed-capacity track table."""
+
+    xy: jax.Array       # (N, 2) float32 current positions (x, y)
+    start_xy: jax.Array  # (N, 2) positions at spawn time
+    age: jax.Array      # (N,) int32 frames tracked
+    alive: jax.Array    # (N,) bool validity
+
+
+def shi_tomasi_response(frame: jax.Array, window: int = 5) -> jax.Array:
+    """Min-eigenvalue corner response of the 5x5 structure tensor."""
+    ix, iy, _ = jnp_ref.compute_gradients(frame, frame)
+    half = window // 2
+    s_xx = ops.uniform_window_sum_valid(ix * ix, window)
+    s_yy = ops.uniform_window_sum_valid(iy * iy, window)
+    s_xy = ops.uniform_window_sum_valid(ix * iy, window)
+    tr = s_xx + s_yy
+    disc = jnp.sqrt(jnp.square(s_xx - s_yy) + 4.0 * jnp.square(s_xy))
+    min_eig = 0.5 * (tr - disc)
+    return jnp.pad(min_eig, ((half, half), (half, half)))
+
+
+def seed_grid(
+    frame: jax.Array,
+    grid_step: int = 16,
+    min_response: float = 1.0,
+) -> Tracks:
+    """Seed one feature per grid cell at the cell's best corner."""
+    h, w = frame.shape
+    resp = shi_tomasi_response(frame)
+    gy = h // grid_step
+    gx = w // grid_step
+    cells = resp[: gy * grid_step, : gx * grid_step].reshape(
+        gy, grid_step, gx, grid_step
+    ).transpose(0, 2, 1, 3).reshape(gy * gx, grid_step * grid_step)
+    best = jnp.argmax(cells, axis=1)
+    best_resp = jnp.take_along_axis(cells, best[:, None], axis=1)[:, 0]
+    cy = best // grid_step
+    cx = best % grid_step
+    base_y = (jnp.arange(gy * gx) // gx) * grid_step
+    base_x = (jnp.arange(gy * gx) % gx) * grid_step
+    xy = jnp.stack(
+        [(base_x + cx).astype(jnp.float32), (base_y + cy).astype(jnp.float32)],
+        axis=1,
+    )
+    alive = best_resp > min_response
+    return Tracks(
+        xy=xy,
+        start_xy=xy,
+        age=jnp.zeros(gy * gx, jnp.int32),
+        alive=alive,
+    )
+
+
+def sample_flow(
+    flow_u: jax.Array, flow_v: jax.Array, xy: jax.Array
+) -> jax.Array:
+    """Bilinear flow sample at (N, 2) positions -> (N, 2) (du, dv)."""
+    x, y = xy[:, 0], xy[:, 1]
+    du = ops.map_coordinates_bilinear(flow_u, y, x)
+    dv = ops.map_coordinates_bilinear(flow_v, y, x)
+    return jnp.stack([du, dv], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("margin",))
+def advance(
+    tracks: Tracks,
+    flow_u: jax.Array,
+    flow_v: jax.Array,
+    margin: int = 3,
+) -> Tracks:
+    """Move tracks by the dense flow; kill tracks that leave the frame."""
+    h, w = flow_u.shape
+    d = sample_flow(flow_u, flow_v, tracks.xy)
+    xy = tracks.xy + d
+    inside = (
+        (xy[:, 0] >= margin)
+        & (xy[:, 0] <= w - 1 - margin)
+        & (xy[:, 1] >= margin)
+        & (xy[:, 1] <= h - 1 - margin)
+    )
+    alive = tracks.alive & inside
+    return Tracks(
+        xy=jnp.where(alive[:, None], xy, tracks.xy),
+        start_xy=tracks.start_xy,
+        age=jnp.where(alive, tracks.age + 1, tracks.age),
+        alive=alive,
+    )
