@@ -265,7 +265,7 @@ def test_ba_distributed_matches_single(rng):
         mesh=mesh,
         in_specs=(rep, rep, rep, obs_spec, obs_spec, obs_spec, obs_spec, rep),
         out_specs=(rep, rep, rep),
-        check_rep=False,
+        check_vma=False,
     )
     def step(pr, pt, lm, uv, cam, lmi, valid, intr):
         prob = ba.BAProblem(pr, pt, lm, uv, cam, lmi, valid, intr)
