@@ -19,9 +19,21 @@ from pathlib import Path
 
 import numpy as np
 
+try:  # native IO runtime (native/fastio.cpp); pure-Python fallback below.
+    from tpuflow import _fastio
+except ImportError:  # pragma: no cover - build-dependent
+    _fastio = None
+
+
+def have_native_io() -> bool:
+    return _fastio is not None
+
 
 def load_frame_bin(path, width: int = 320, height: int = 240) -> np.ndarray:
     """Raw uint8 frame -> float32 (H, W)."""
+    if _fastio is not None:
+        data = np.frombuffer(_fastio.load_bin_f32(str(path)), dtype=np.float32)
+        return data.reshape((height, width)).copy()
     data = np.fromfile(path, dtype=np.uint8)
     return data.reshape((height, width)).astype(np.float32)
 
@@ -32,16 +44,25 @@ def save_frame_bin(path, frame: np.ndarray) -> None:
 
 def load_frame_mem(path, width: int = 320, height: int = 240) -> np.ndarray:
     """$readmemh hex frame -> float32 (H, W)."""
-    vals = [
-        int(line, 16)
-        for line in Path(path).read_text().splitlines()
-        if line.strip() and not line.startswith("//")
-    ]
-    return np.asarray(vals, np.uint8).reshape((height, width)).astype(np.float32)
+    if _fastio is not None:
+        vals = np.frombuffer(_fastio.decode_mem(str(path)), dtype=np.uint8)
+    else:
+        vals = np.asarray(
+            [
+                int(line, 16)
+                for line in Path(path).read_text().splitlines()
+                if line.strip() and not line.startswith("//")
+            ],
+            np.uint8,
+        )
+    return vals.reshape((height, width)).astype(np.float32)
 
 
 def save_frame_mem(path, frame: np.ndarray) -> None:
     flat = np.asarray(frame).astype(np.uint8).flatten()
+    if _fastio is not None:
+        _fastio.encode_mem(str(path), flat.tobytes())
+        return
     with open(path, "w") as f:
         f.writelines(f"{v:02x}\n" for v in flat)
 
