@@ -18,9 +18,10 @@ full coarse-to-fine pyramid instead of one scale.
 
 Timing methodology: the axon tunnel's ``block_until_ready`` does not
 synchronize with device execution, so dispatch-loop timing reads ~0.
-We time a jitted ``lax.fori_loop`` that chains N pyramidal solves through
-a data dependency and force a scalar readback; the first timed call is
-discarded (tunnel warm-up).
+We time a jitted ``lax.fori_loop`` that chains N pyramidal solves
+through a data dependency with a forced scalar readback, and report the
+marginal per-frame time between two loop lengths — differencing cancels
+the tunnel's fixed dispatch/readback overhead.
 """
 
 import json
@@ -63,24 +64,30 @@ def main() -> None:
     a = jnp.asarray(f0)
     b = jnp.asarray(f1)
 
-    n = 20
+    import functools
 
-    @jax.jit
-    def loop(a, b):
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop(a, b, n):
         def body(i, carry):
             u, v = lucas_kanade_pyramidal(a + carry * 1e-9, b, backend="pallas")
             return u
         return jax.lax.fori_loop(0, n, body, jnp.zeros((h, w), jnp.float32))[0, 9]
 
-    float(loop(a, b))  # compile
-    float(loop(a, b))  # tunnel warm-up
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(loop(a, b))
-        best = min(best, (time.perf_counter() - t0) / n)
+    n_short, n_long = 5, 30
+    for n in (n_short, n_long):
+        float(loop(a, b, n))  # compile
+        float(loop(a, b, n))  # tunnel warm-up
+    best = {}
+    for n in (n_short, n_long):
+        t = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(loop(a, b, n))
+            t = min(t, time.perf_counter() - t0)
+        best[n] = t
 
-    fps = 1.0 / best
+    per_frame = (best[n_long] - best[n_short]) / (n_long - n_short)
+    fps = 1.0 / per_frame
     print(
         json.dumps(
             {

@@ -2,6 +2,7 @@
 the reference testing RTL without a board, SURVEY.md §4)."""
 
 import numpy as np
+import jax
 import pytest
 import jax.numpy as jnp
 from jax.experimental.pallas import tpu as pltpu
@@ -146,3 +147,65 @@ class TestBandedWarp:
                 pallas_warp.warp_image_banded(jnp.asarray(img), jnp.asarray(z), jnp.asarray(z))
             )
         np.testing.assert_allclose(got, img, atol=1e-4)
+
+
+class TestBatching:
+    """Native batch support + custom_vmap composition."""
+
+    def _frames(self, rng, b=3, h=48, w=64):
+        from scipy.ndimage import gaussian_filter
+
+        out = []
+        for _ in range(2):
+            fs = [
+                gaussian_filter(
+                    rng.uniform(0, 255, (h, w)).astype(np.float32), 2.0
+                ).astype(np.float32)
+                for _ in range(b)
+            ]
+            out.append(jnp.asarray(np.stack(fs)))
+        return out
+
+    def test_batched_lk_matches_per_frame(self, rng):
+        prev, curr = self._frames(rng)
+        with pltpu.force_tpu_interpret_mode():
+            ub, vb = pallas_lk.lucas_kanade_fused(prev, curr)
+            for i in range(prev.shape[0]):
+                u1, v1 = pallas_lk.lucas_kanade_fused(prev[i], curr[i])
+                np.testing.assert_allclose(np.asarray(ub[i]), np.asarray(u1), atol=1e-5)
+
+    def test_vmap_lk(self, rng):
+        prev, curr = self._frames(rng)
+        with pltpu.force_tpu_interpret_mode():
+            ub, vb = jax.vmap(pallas_lk.lucas_kanade_fused)(prev, curr)
+            u1, v1 = pallas_lk.lucas_kanade_fused(prev[0], curr[0])
+            np.testing.assert_allclose(np.asarray(ub[0]), np.asarray(u1), atol=1e-5)
+
+    def test_batched_warp_matches_per_frame(self, rng):
+        from tpuflow.kernels import pallas_warp
+
+        prev, _ = self._frames(rng)
+        b, h, w = prev.shape
+        u = jnp.asarray(rng.uniform(-5, 5, (b, h, w)), jnp.float32)
+        v = jnp.asarray(rng.uniform(-5, 5, (b, h, w)), jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            ob = pallas_warp.warp_image_banded(prev, u, v)
+            o1 = pallas_warp.warp_image_banded(prev[1], u[1], v[1])
+            np.testing.assert_allclose(np.asarray(ob[1]), np.asarray(o1), atol=1e-5)
+
+    def test_vmap_pyramidal(self, rng):
+        # The interpreter's ordered IO effects cannot vmap inside the
+        # refinement while_loop; this composition is validated on real
+        # TPU (bit-exact vs per-frame). Interpret mode covers the
+        # kernels individually above.
+        if jax.default_backend() == "cpu":
+            pytest.skip("vmap(while_loop(pallas)) unsupported in interpret mode")
+        from tpuflow.flow import lucas_kanade_pyramidal
+
+        prev, curr = self._frames(rng, b=2)
+        with pltpu.force_tpu_interpret_mode():
+            ub, vb = jax.vmap(
+                lambda p, c: lucas_kanade_pyramidal(p, c, backend="pallas")
+            )(prev, curr)
+            u1, v1 = lucas_kanade_pyramidal(prev[0], curr[0], backend="pallas")
+            np.testing.assert_allclose(np.asarray(ub[0]), np.asarray(u1), atol=1e-4)

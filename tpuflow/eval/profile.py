@@ -1,0 +1,145 @@
+"""Per-stage latency + roofline accounting for the flow pipeline.
+
+The reference's "profiler" is Vivado timing/utilization reports plus an
+analytical pipeline-latency model in the testbench
+(tb_optical_flow_top.sv:118-129; SURVEY.md §5). The TPU equivalent:
+measure each pipeline stage on device and compare against a per-stage
+bytes/FLOPs roofline model.
+
+Timing method: through the axon tunnel ``block_until_ready`` does not
+synchronize, so each stage is timed as the *marginal* cost between two
+serialized ``lax.fori_loop`` lengths with a forced scalar readback —
+the differencing cancels fixed dispatch/readback overhead.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import numpy as np
+
+# Approximate v5e chip ceilings (public figures; used only to report
+# achieved fractions).
+HBM_GBPS = 819.0
+
+
+def _marginal_seconds(make_body, shape, n1: int = 20, n2: int = 100) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop(x, n):
+        def body(i, carry):
+            return make_body(x + carry) * 1e-9
+
+        return jax.lax.fori_loop(0, n, body, jnp.zeros(shape, jnp.float32))[0, 9]
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 255, shape), jnp.float32)
+    for n in (n1, n2):
+        float(loop(x, n))
+        float(loop(x, n))
+    ts = {}
+    for n in (n1, n2):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(loop(x, n))
+            best = min(best, time.perf_counter() - t0)
+        ts[n] = best
+    return (ts[n2] - ts[n1]) / (n2 - n1)
+
+
+def profile_pipeline(height: int = 1080, width: int = 1920) -> list[dict]:
+    """Measure each stage at (height, width); returns report rows."""
+    import jax.numpy as jnp
+
+    from tpuflow.core import ops
+    from tpuflow.flow import lucas_kanade_pyramidal
+    from tpuflow.kernels import jnp_ref, pallas_lk, pallas_warp
+
+    h, w = height, width
+    px = h * w
+    rng = np.random.default_rng(1)
+    curr = jnp.asarray(rng.uniform(0, 255, (h, w)), jnp.float32)
+    u0 = jnp.asarray(rng.uniform(-3, 3, (h, w)), jnp.float32)
+
+    stages = [
+        (
+            "fused LK (pallas)",
+            lambda x: pallas_lk.lucas_kanade_fused(x, curr)[0],
+            16 * px,  # 2 frame reads + 2 flow writes
+        ),
+        (
+            "banded warp (pallas)",
+            lambda x: pallas_warp.warp_image_banded(curr, u0, x * 0 + u0),
+            16 * px,  # frame + 2 flows in, frame out
+        ),
+        (
+            "gaussian blur s=2",
+            lambda x: ops.gaussian_filter(x, 2.0),
+            8 * px,
+        ),
+        (
+            "resize 2x down (MXU)",
+            lambda x: jnp.pad(
+                ops.resize_bilinear(x, h // 2, w // 2),
+                ((0, h - h // 2), (0, w - w // 2)),
+            ),
+            5 * px,
+        ),
+        (
+            "pyramid build (3 lvl)",
+            lambda x: jnp_ref.build_gaussian_pyramid(x, 3)[2],
+            2 * 8 * px,
+        ),
+        (
+            "pyramidal total (fast)",
+            lambda x: lucas_kanade_pyramidal(x, curr, backend="pallas")[0],
+            None,
+        ),
+    ]
+
+    rows = []
+    for name, fn, bytes_model in stages:
+        t = _marginal_seconds(fn, (h, w))
+        row = {
+            "stage": name,
+            "ms": t * 1e3,
+            "bytes_model": bytes_model,
+        }
+        if bytes_model:
+            row["effective_gbps"] = bytes_model / t / 1e9
+            row["hbm_fraction"] = bytes_model / t / 1e9 / HBM_GBPS
+        rows.append(row)
+    return rows
+
+
+def format_report(rows: list[dict], height: int, width: int) -> str:
+    lines = [
+        f"tpuflow pipeline profile @ {width}x{height} (marginal ms/frame)",
+        f"{'stage':26s} {'ms':>8s} {'GB/s':>8s} {'%HBM roofline':>14s}",
+    ]
+    for r in rows:
+        gbps = f"{r['effective_gbps']:8.0f}" if "effective_gbps" in r else "       -"
+        frac = (
+            f"{100 * r['hbm_fraction']:13.1f}%" if "hbm_fraction" in r else "             -"
+        )
+        lines.append(f"{r['stage']:26s} {r['ms']:8.3f} {gbps} {frac}")
+    return "\n".join(lines)
+
+
+def main() -> None:
+    import argparse
+
+    parser = argparse.ArgumentParser(description="Profile the flow pipeline")
+    parser.add_argument("--height", type=int, default=1080)
+    parser.add_argument("--width", type=int, default=1920)
+    args = parser.parse_args()
+    rows = profile_pipeline(args.height, args.width)
+    print(format_report(rows, args.height, args.width))
+
+
+if __name__ == "__main__":
+    main()

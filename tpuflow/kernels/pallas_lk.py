@@ -11,15 +11,22 @@ divider) re-designed as ONE VMEM-resident pass per row-slab:
                 planes -> separable 5x5 window sums -> Cramer solve
     HBM writes: (u, v), once
 
-The RTL's line buffers become the slab halo; its DSP array becomes VPU
-elementwise math; its BRAM port arbitration disappears (no shared-port
-hazards in VMEM). Numerics match tpuflow.kernels.jnp_ref in f32
-(equivalence-tested in tests/test_pallas_kernels.py).
+The RTL's line buffers become a double-buffered slab pipeline (grid
+steps run sequentially per core with persistent scratch, so each step
+prefetches the next slab while computing the current one); its DSP
+array becomes VPU elementwise math; its BRAM port arbitration disappears
+(no shared-port hazards in VMEM). Numerics match tpuflow.kernels.jnp_ref
+in f32 (equivalence-tested in tests/test_pallas_kernels.py).
+
+Batching: the kernel is natively batched over a flattened
+(batch * row_tiles) grid, and the public entry registers a
+``jax.custom_batching.custom_vmap`` rule, so ``vmap`` over frame
+streams (BASELINE.json config 4, "batched streams") maps onto the
+batched grid instead of failing on the manual-DMA input specs.
 
 Roofline: ~190 f32 FLOPs/pixel against 16 B/pixel of HBM traffic
 (2 frame reads + 2 flow writes) => arithmetic intensity ~12 FLOP/B,
-HBM-bound on v5e (~819 GB/s); speed-of-light is one sequential
-read+write pass, which this kernel is by construction.
+HBM-bound on v5e (~819 GB/s).
 
 Geometry (all static):
     APRON = 4 rows/cols per side = Sobel halo (1) + window halo (2) + 1
@@ -44,26 +51,45 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _lk_kernel(prev_hbm, curr_hbm, u_ref, v_ref, prev_sl, curr_sl, sems,
-               *, tile_rows: int, height: int, width: int, window: int,
-               det_threshold: float):
-    i = pl.program_id(0)
-    r0 = i * tile_rows
+def _lk_kernel(prev_hbm, curr_hbm, u_ref, v_ref, bufs, sems,
+               *, n_tiles: int, tile_rows: int, height: int, width: int,
+               window: int, det_threshold: float):
+    # Double-buffered slab pipeline over the flattened (batch, tile) grid.
+    s = pl.program_id(0)
+    n = pl.num_programs(0)
     slab_h = tile_rows + 2 * APRON
+    slot = jax.lax.rem(s, 2)
+    nslot = jax.lax.rem(s + 1, 2)
 
-    cp_prev = pltpu.make_async_copy(
-        prev_hbm.at[pl.ds(r0, slab_h), :], prev_sl, sems.at[0]
-    )
-    cp_curr = pltpu.make_async_copy(
-        curr_hbm.at[pl.ds(r0, slab_h), :], curr_sl, sems.at[1]
-    )
-    cp_prev.start()
-    cp_curr.start()
-    cp_prev.wait()
-    cp_curr.wait()
+    def copies(step, sl):
+        bb = step // n_tiles
+        r = (step % n_tiles) * tile_rows
+        return (
+            pltpu.make_async_copy(
+                prev_hbm.at[bb, pl.ds(r, slab_h), :], bufs.at[0, sl],
+                sems.at[0, sl],
+            ),
+            pltpu.make_async_copy(
+                curr_hbm.at[bb, pl.ds(r, slab_h), :], bufs.at[1, sl],
+                sems.at[1, sl],
+            ),
+        )
 
-    p = prev_sl[:]
-    c = curr_sl[:]
+    @pl.when(s == 0)
+    def _():
+        for cp in copies(s, slot):
+            cp.start()
+
+    @pl.when(s + 1 < n)
+    def _():
+        for cp in copies(s + 1, nslot):
+            cp.start()
+
+    for cp in copies(s, slot):
+        cp.wait()
+
+    p = bufs[0, slot]
+    c = bufs[1, slot]
     avg = (p + c) * 0.5
 
     # Sobel on the averaged frame (true convolution == correlation with the
@@ -119,6 +145,7 @@ def _lk_kernel(prev_hbm, curr_hbm, u_ref, v_ref, prev_sl, curr_sl, sems,
     # Zero the half-window border (reference: flow only for fully-interior
     # windows, python/lucas_kanade_core.py:104-107) and any grid overhang.
     half = window // 2
+    r0 = (s % n_tiles) * tile_rows
     rows = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, width), 0) + r0
     cols = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, width), 1)
     interior = (
@@ -127,13 +154,114 @@ def _lk_kernel(prev_hbm, curr_hbm, u_ref, v_ref, prev_sl, curr_sl, sems,
         & (cols >= half)
         & (cols < width - half)
     )
-    u_ref[:] = jnp.where(interior, u, 0.0)
-    v_ref[:] = jnp.where(interior, v, 0.0)
+    u_ref[0] = jnp.where(interior, u, 0.0)
+    v_ref[0] = jnp.where(interior, v, 0.0)
 
 
 @functools.partial(
     jax.jit, static_argnames=("window_size", "det_threshold", "tile_rows")
 )
+def _fused_batched(
+    frame_prev: jax.Array,
+    frame_curr: jax.Array,
+    window_size: int,
+    det_threshold: float,
+    tile_rows: int | None,
+) -> tuple[jax.Array, jax.Array]:
+    """(B, H, W) batched fused LK."""
+    bsz, h, w = frame_prev.shape
+    if tile_rows is None:
+        # ~30 live (th, w)-sized f32 planes in VMEM (double-buffered
+        # slabs, gradients, products, sums, double-buffered outputs,
+        # Mosaic temporaries); keep the working set under ~12 MB.
+        budget_rows = (12 * 1024 * 1024) // (30 * 4 * max(w, 128))
+        tile_rows = min(128, max(8, (budget_rows // 8) * 8))
+    th = min(tile_rows, _round_up(h, 8))
+    hp = _round_up(h, th)
+    # DMA slabs must be tile-aligned: rows to 8 sublanes (th, APRON do
+    # that), lanes to 128 — pad the slab width up to a 128 multiple.
+    wp = _round_up(w + 2 * APRON, 128)
+
+    def pad(f):
+        f = jnp.pad(f, ((0, 0), (1, 1), (1, 1)), mode="symmetric")
+        return jnp.pad(f, ((0, 0), (3, 3 + hp - h), (3, wp - w - 5)))
+
+    prev_p = pad(frame_prev)
+    curr_p = pad(frame_curr)
+
+    n_tiles = hp // th
+    kernel = functools.partial(
+        _lk_kernel,
+        n_tiles=n_tiles,
+        tile_rows=th,
+        height=h,
+        width=w,
+        window=window_size,
+        det_threshold=det_threshold,
+    )
+    u, v = pl.pallas_call(
+        kernel,
+        grid=(bsz * n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, th, w),
+                lambda s: (s // n_tiles, s % n_tiles, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, th, w),
+                lambda s: (s // n_tiles, s % n_tiles, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz, hp, w), frame_prev.dtype),
+            jax.ShapeDtypeStruct((bsz, hp, w), frame_prev.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, th + 2 * APRON, wp), frame_prev.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(190 * bsz * h * w),
+            bytes_accessed=int(16 * bsz * h * w),
+            transcendentals=0,
+        ),
+    )(prev_p, curr_p)
+    if hp != h:
+        u = u[:, :h]
+        v = v[:, :h]
+    return u, v
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused(window_size: int, det_threshold: float, tile_rows: int | None):
+    """custom_vmap wrapper for one static configuration."""
+
+    @jax.custom_batching.custom_vmap
+    def fused(prev, curr):
+        u, v = _fused_batched(
+            prev[None], curr[None], window_size, det_threshold, tile_rows
+        )
+        return u[0], v[0]
+
+    @fused.def_vmap
+    def _vmap_rule(axis_size, in_batched, prev, curr):  # noqa: ANN001
+        pb, cb = in_batched
+        if not pb:
+            prev = jnp.broadcast_to(prev, (axis_size,) + prev.shape)
+        if not cb:
+            curr = jnp.broadcast_to(curr, (axis_size,) + curr.shape)
+        out = _fused_batched(prev, curr, window_size, det_threshold, tile_rows)
+        return out, (True, True)
+
+    return fused
+
+
 def lucas_kanade_fused(
     frame_prev: jax.Array,
     frame_curr: jax.Array,
@@ -144,68 +272,17 @@ def lucas_kanade_fused(
     """Fused dense LK flow: (u, v) = kernel(prev, curr).
 
     Drop-in twin of the jnp path (tpuflow.flow.single_scale with
-    backend="jnp") — SURVEY.md §7 step 4. Any (H, W); rows are processed
-    in ``tile_rows`` slabs with an 8-row halo.
+    backend="jnp") — SURVEY.md §7 step 4. Accepts (H, W) frames or
+    (B, H, W) batches; also composes with ``jax.vmap``.
     """
     if window_size // 2 > 2:
         # The slab apron is sized for window <= 5; larger windows take the
         # jnp path (still XLA-fused) rather than silently mis-computing.
         raise ValueError("pallas kernel supports window_size <= 5; use backend='jnp'")
-    h, w = frame_prev.shape
-    if tile_rows is None:
-        # ~26 live (th, w)-sized f32 planes in VMEM (slabs, gradients,
-        # products, sums, double-buffered outputs, Mosaic temporaries);
-        # size th so the working set stays under ~12 MB.
-        budget_rows = (12 * 1024 * 1024) // (26 * 4 * max(w, 128))
-        tile_rows = min(128, max(8, (budget_rows // 8) * 8))
-    th = min(tile_rows, _round_up(h, 8))
-    hp = _round_up(h, th)
-    # DMA slabs must be tile-aligned: rows to 8 sublanes (th, APRON do
-    # that), lanes to 128 — pad the slab width up to a 128 multiple.
-    wp = _round_up(w + 2 * APRON, 128)
-
-    def pad(f):
-        f = jnp.pad(f, 1, mode="symmetric")  # Sobel symm boundary
-        return jnp.pad(f, ((3, 3 + hp - h), (3, wp - w - 5)))
-
-    prev_p = pad(frame_prev)
-    curr_p = pad(frame_curr)
-
-    kernel = functools.partial(
-        _lk_kernel,
-        tile_rows=th,
-        height=h,
-        width=w,
-        window=window_size,
-        det_threshold=det_threshold,
+    if frame_prev.ndim == 3:
+        return _fused_batched(
+            frame_prev, frame_curr, window_size, det_threshold, tile_rows
+        )
+    return _make_fused(window_size, det_threshold, tile_rows)(
+        frame_prev, frame_curr
     )
-    u, v = pl.pallas_call(
-        kernel,
-        grid=(hp // th,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=(
-            pl.BlockSpec((th, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((th, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((hp, w), frame_prev.dtype),
-            jax.ShapeDtypeStruct((hp, w), frame_prev.dtype),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((th + 2 * APRON, wp), frame_prev.dtype),
-            pltpu.VMEM((th + 2 * APRON, wp), frame_prev.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=int(190 * h * w),
-            bytes_accessed=int(16 * h * w),
-            transcendentals=0,
-        ),
-    )(prev_p, curr_p)
-    if hp != h:
-        u = u[:h]
-        v = v[:h]
-    return u, v

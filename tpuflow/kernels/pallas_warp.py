@@ -23,6 +23,9 @@ f32 rounding (tests/test_pallas_kernels.py); vertical displacements
 beyond the band read 0, like an out-of-bounds sample. Callers needing
 unbounded parity semantics use the jnp warp; the fast pyramidal driver
 clamps flow to the band first (RTL-clamp semantics).
+
+Natively batched over a flattened (batch * row_tiles) grid with a
+``custom_vmap`` rule, so ``vmap`` over frame streams composes.
 """
 
 from __future__ import annotations
@@ -40,21 +43,25 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _warp_kernel(img_hbm, u_ref, v_ref, out_ref, band_sl, sem,
-                 *, tile_rows: int, height: int, width: int, wp: int,
-                 dpad: int, max_disp: int):
+                 *, n_tiles: int, tile_rows: int, height: int, width: int,
+                 wp: int, dpad: int, max_disp: int):
     th = tile_rows
     nb = wp // 128
-    i = pl.program_id(0)
+    s = pl.program_id(0)
+    b = s // n_tiles
+    i = s % n_tiles
     r0 = i * th
     band_h = th + 2 * dpad
 
-    cp = pltpu.make_async_copy(img_hbm.at[pl.ds(r0, band_h), :], band_sl, sem)
+    cp = pltpu.make_async_copy(
+        img_hbm.at[b, pl.ds(r0, band_h), :], band_sl, sem
+    )
     cp.start()
     cp.wait()
 
-    u = u_ref[:]
-    v = v_ref[:]
-    # Mosaic iota is integer-only.
+    u = u_ref[0]
+    v = v_ref[0]
+    # Mosaic iota is integer-only; cast to f32 after generation.
     xx_i = jax.lax.broadcasted_iota(jnp.int32, (th, wp), 1)
     yy_i = jax.lax.broadcasted_iota(jnp.int32, (th, wp), 0) + r0
     xf = xx_i.astype(jnp.float32) + u
@@ -85,17 +92,17 @@ def _warp_kernel(img_hbm, u_ref, v_ref, out_ref, band_sl, sem,
 
     l0_r, l1_r = rs(l0), rs(l1)
     fx_r = rs(fx)
-    sel0 = [rs((b0 - my_block == s).astype(jnp.float32)) for s in (-1, 0, 1)]
-    sel1 = [rs((b1 - my_block == s).astype(jnp.float32)) for s in (-1, 0, 1)]
+    sel0 = [rs((b0 - my_block == k).astype(jnp.float32)) for k in (-1, 0, 1)]
+    sel1 = [rs((b1 - my_block == k).astype(jnp.float32)) for k in (-1, 0, 1)]
     dy_r = rs(dy_local)
 
     band = band_sl[:]
     # One lane-shifted reshaped copy of the band per block offset: block b
-    # of band_rs[s] holds image columns [128*(b+s), 128*(b+s)+128).
+    # of band_rs[k] holds image columns [128*(b+k), 128*(b+k)+128).
     band_rs = [
-        jax.lax.slice(band, (0, 128 + 128 * s), (band_h, 128 + 128 * s + wp))
+        jax.lax.slice(band, (0, 128 + 128 * k), (band_h, 128 + 128 * k + wp))
         .reshape(band_h * nb, 128)
-        for s in (-1, 0, 1)
+        for k in (-1, 0, 1)
     ]
 
     acc0 = jnp.zeros((th * nb, 128), jnp.float32)
@@ -125,10 +132,100 @@ def _warp_kernel(img_hbm, u_ref, v_ref, out_ref, band_sl, sem,
         & (yf <= float(height - 1))
     )
     out = jnp.where(inside, out, 0.0)
-    out_ref[:] = jax.lax.slice(out, (0, 0), (th, width))
+    out_ref[0] = jax.lax.slice(out, (0, 0), (th, width))
 
 
 @functools.partial(jax.jit, static_argnames=("max_disp", "tile_rows"))
+def _warp_batched(
+    image: jax.Array,
+    flow_u: jax.Array,
+    flow_v: jax.Array,
+    max_disp: int,
+    tile_rows: int | None,
+) -> jax.Array:
+    """(B, H, W) batched banded warp."""
+    bsz, h, w = image.shape
+    if tile_rows is None:
+        # ~60 live (th, w)-sized f32 planes (coords, fractions, block
+        # selectors, accumulators, gather temporaries) + 3 band copies;
+        # keep the working set under ~8 MB.
+        budget_rows = (8 * 1024 * 1024) // (60 * 4 * max(w, 128))
+        tile_rows = min(64, max(8, (budget_rows // 8) * 8))
+    th = min(tile_rows, _round_up(h, 8))
+    hp = _round_up(h, th)
+    wp = _round_up(w, 128)
+    dpad = _round_up(max_disp + 1, 4)
+
+    # Rows: vertical band apron + grid overhang. Cols: one 128-lane block
+    # margin each side for the shifted gather copies.
+    img_p = jnp.pad(image, ((0, 0), (dpad, dpad + hp - h), (128, 128 + wp - w)))
+    u_p = jnp.pad(flow_u, ((0, 0), (0, hp - h), (0, wp - w)))
+    v_p = jnp.pad(flow_v, ((0, 0), (0, hp - h), (0, wp - w)))
+
+    n_tiles = hp // th
+    kernel = functools.partial(
+        _warp_kernel,
+        n_tiles=n_tiles,
+        tile_rows=th,
+        height=h,
+        width=w,
+        wp=wp,
+        dpad=dpad,
+        max_disp=max_disp,
+    )
+    flow_spec = pl.BlockSpec(
+        (1, th, wp), lambda s: (s // n_tiles, s % n_tiles, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(bsz * n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            flow_spec,
+            pl.BlockSpec(
+                (1, th, wp), lambda s: (s // n_tiles, s % n_tiles, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, w), lambda s: (s // n_tiles, s % n_tiles, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, hp, w), image.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2 * dpad, wp + 256), image.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int((2 * max_disp + 2) * 16 * bsz * h * w),
+            bytes_accessed=int(16 * bsz * h * w),
+            transcendentals=0,
+        ),
+    )(img_p, u_p, v_p)
+    return out[:, :h] if hp != h else out
+
+
+@functools.lru_cache(maxsize=None)
+def _make_warp(max_disp: int, tile_rows: int | None):
+    @jax.custom_batching.custom_vmap
+    def warp(image, flow_u, flow_v):
+        return _warp_batched(
+            image[None], flow_u[None], flow_v[None], max_disp, tile_rows
+        )[0]
+
+    @warp.def_vmap
+    def _vmap_rule(axis_size, in_batched, image, flow_u, flow_v):  # noqa: ANN001
+        args = []
+        for a, batched in zip((image, flow_u, flow_v), in_batched):
+            if not batched:
+                a = jnp.broadcast_to(a, (axis_size,) + a.shape)
+            args.append(a)
+        return _warp_batched(*args, max_disp, tile_rows), True
+
+    return warp
+
+
 def warp_image_banded(
     image: jax.Array,
     flow_u: jax.Array,
@@ -141,52 +238,8 @@ def warp_image_banded(
     Exact for |v| <= ``max_disp`` and |u| < 128; vertical displacements
     beyond the band read 0. ``max_disp`` is static; the default mirrors
     the reference RTL's +-8 px flow clamp (flow_solver.sv:134-144).
+    Accepts (H, W) or (B, H, W); composes with ``jax.vmap``.
     """
-    h, w = image.shape
-    if tile_rows is None:
-        # ~45 live (th, w)-sized f32 planes (coords, fractions, block
-        # selectors, accumulators, gather temporaries) + 3 band copies;
-        # keep the working set under ~12 MB.
-        budget_rows = (8 * 1024 * 1024) // (60 * 4 * max(w, 128))
-        tile_rows = min(64, max(8, (budget_rows // 8) * 8))
-    th = min(tile_rows, _round_up(h, 8))
-    hp = _round_up(h, th)
-    wp = _round_up(w, 128)
-    dpad = _round_up(max_disp + 1, 4)
-
-    # Rows: vertical band apron + grid overhang. Cols: one 128-lane block
-    # margin each side for the shifted gather copies.
-    img_p = jnp.pad(image, ((dpad, dpad + hp - h), (128, 128 + wp - w)))
-    u_p = jnp.pad(flow_u, ((0, hp - h), (0, wp - w)))
-    v_p = jnp.pad(flow_v, ((0, hp - h), (0, wp - w)))
-
-    kernel = functools.partial(
-        _warp_kernel,
-        tile_rows=th,
-        height=h,
-        width=w,
-        wp=wp,
-        dpad=dpad,
-        max_disp=max_disp,
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid=(hp // th,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((th, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((th, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((th, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((hp, w), image.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((th + 2 * dpad, wp + 256), image.dtype),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=int((2 * max_disp + 2) * 16 * h * w),
-            bytes_accessed=int(16 * h * w),
-            transcendentals=0,
-        ),
-    )(img_p, u_p, v_p)
-    return out[:h] if hp != h else out
+    if image.ndim == 3:
+        return _warp_batched(image, flow_u, flow_v, max_disp, tile_rows)
+    return _make_warp(max_disp, tile_rows)(image, flow_u, flow_v)
