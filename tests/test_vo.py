@@ -287,3 +287,51 @@ def test_ba_distributed_matches_single(rng):
     np.testing.assert_allclose(
         np.asarray(pt), np.asarray(single.poses_t), atol=2e-2
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end odometry pipeline
+# ---------------------------------------------------------------------------
+
+
+def test_odometry_pipeline_recovers_planar_translation():
+    """Camera translating sideways over a textured fronto-parallel plane:
+    frames are shifts of the base texture (image shift = fx * tx / Z).
+    The pipeline (dense flow -> tracks -> BA) must recover keyframe
+    translations along -x with roughly uniform spacing."""
+    from scipy.ndimage import shift as nd_shift
+
+    from tpuflow.eval import patterns
+    from tpuflow.vo.pipeline import run_odometry
+
+    base = patterns.load_base_texture(320, 240).astype(np.float32)
+    fx = fy = 300.0
+    depth = 5.0
+    cam_step = 0.02  # world units per frame -> 1.2 px image shift
+    px_step = fx * cam_step / depth
+    frames = [
+        nd_shift(base, (0.0, -px_step * i), order=1, mode="nearest")
+        for i in range(5)
+    ]
+
+    result = run_odometry(
+        frames, (fx, fy, 160.0, 120.0), init_depth=depth, ba_iterations=10
+    )
+    assert result.track_count > 50
+    assert result.mean_reprojection_error < 1.0, result.mean_reprojection_error
+
+    # Camera positions in the world frame: p = -R^T t (poses store the
+    # world->camera transform). Content moving -x <=> camera moving +x.
+    positions = np.stack(
+        [-r.T @ t for r, t in zip(result.poses_r, result.poses_t)]
+    )
+    assert abs(positions[0]).max() < 1e-3  # camera 0 pinned
+    dx = np.diff(positions[:, 0])
+    assert np.all(dx > 0), positions[:, 0]
+    # Monocular scale is a gauge freedom — assert the trajectory is the
+    # right shape (order-of-magnitude step size, bounded lateral drift),
+    # not its absolute scale.
+    assert cam_step / 4 < np.mean(dx) < cam_step * 4, dx
+    span = positions[-1, 0] - positions[0, 0]
+    assert np.abs(positions[1:, 1]).max() < 0.6 * span
+    assert np.abs(positions[1:, 2]).max() < 0.6 * span

@@ -156,9 +156,17 @@ def gauss_newton_step(
         bp = jax.lax.psum(bp, axis_name)
         bl = jax.lax.psum(bl, axis_name)
 
-    # Damping.
-    hll = hll + damping * jnp.eye(3)[None]
-    hpp = hpp + damping * jnp.eye(6)[None]
+    # Levenberg-style relative damping (scales with the problem, so
+    # degenerate geometry — e.g. a single plane — stays solvable) plus a
+    # small absolute floor for empty blocks.
+    def damp(h):
+        d = jnp.einsum("...ii->...i", h)
+        return h + jnp.vectorize(jnp.diag, signature="(n)->(n,n)")(
+            damping * d + 1e-6
+        )
+
+    hll = damp(hll)
+    hpp = damp(hpp)
 
     hll_inv = _inv3(hll)
 
