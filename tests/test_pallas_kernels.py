@@ -70,10 +70,28 @@ def test_fused_lk_ragged_height(rng):
     np.testing.assert_allclose(np.asarray(mu), np.asarray(ru), atol=1e-3)
 
 
-def test_large_window_rejected():
+def test_window_7_matches_jnp(rng):
+    from scipy.ndimage import gaussian_filter
+
+    prev = gaussian_filter(
+        rng.uniform(0, 255, (48, 64)).astype(np.float32), 2.0
+    ).astype(np.float32)
+    curr = gaussian_filter(
+        rng.uniform(0, 255, (48, 64)).astype(np.float32), 2.0
+    ).astype(np.float32)
+    ru, rv = _jnp_lk(jnp.asarray(prev), jnp.asarray(curr), window=7)
+    with pltpu.force_tpu_interpret_mode():
+        mu, mv = pallas_lk.lucas_kanade_fused(
+            jnp.asarray(prev), jnp.asarray(curr), window_size=7
+        )
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(ru), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(mv), np.asarray(rv), atol=1e-3)
+
+
+def test_too_large_window_rejected():
     z = jnp.zeros((32, 32), jnp.float32)
-    with pytest.raises(ValueError, match="window_size <= 5"):
-        pallas_lk.lucas_kanade_fused(z, z, window_size=7)
+    with pytest.raises(ValueError, match="window_size <= 7"):
+        pallas_lk.lucas_kanade_fused(z, z, window_size=9)
 
 
 def test_backend_dispatch(rng):

@@ -99,3 +99,49 @@ def test_tiled_lk_rejects_bad_tiling(rng):
     prev = jnp.zeros((1, 48, 63), jnp.float32)  # width does not divide tx=2
     with pytest.raises(AssertionError):
         tiled_lucas_kanade_single_scale(prev, prev, mesh)
+
+
+@pytest.mark.parametrize("tiling", [(1, 2, 2), (2, 2, 2)])
+def test_tiled_pyramidal_matches_single_device(tiling, rng):
+    """Tiled pyramidal (replicated coarse + sharded fine) == the
+    single-device fast-path semantics (rtl_clamp)."""
+    from tpuflow.flow import lucas_kanade_pyramidal
+    from tpuflow.core.config import PyramidConfig
+    from tpuflow.sharding.tiled_pyramidal import tiled_lucas_kanade_pyramidal
+    from scipy.ndimage import gaussian_filter, shift
+
+    batch, ty, tx = tiling
+    _need(batch * ty * tx)
+    mesh = make_flow_mesh(batch=batch, ty=ty, tx=tx)
+    cfg = PyramidConfig(levels=3, window_size=5, iterations=2)
+
+    frames = []
+    for i in range(batch):
+        base = gaussian_filter(
+            rng.uniform(0, 255, (48, 64)).astype(np.float32), 2.0
+        ).astype(np.float32)
+        moved = shift(base, (0.5, 1.5 + i), order=1, mode="constant").astype(
+            np.float32
+        )
+        frames.append((base, moved))
+    prev = jnp.asarray(np.stack([f[0] for f in frames]))
+    curr = jnp.asarray(np.stack([f[1] for f in frames]))
+
+    u_t, v_t = tiled_lucas_kanade_pyramidal(prev, curr, mesh, config=cfg)
+
+    # Tolerance note: the tiled warp evaluates bilinear coordinates in
+    # tile-local frame (y_local + halo) vs the single-device global
+    # frame; f32 rounding of the fractional parts differs at different
+    # magnitudes, perturbing a fraction of a percent of pixels at the
+    # ~2e-4 px level after the LK solve.
+    for b in range(batch):
+        u_s, v_s = lucas_kanade_pyramidal(
+            prev[b], curr[b], config=cfg, rtl_clamp=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(u_t)[b], np.asarray(u_s), atol=1e-3,
+            err_msg=f"tiling {tiling} batch {b}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(v_t)[b], np.asarray(v_s), atol=1e-3,
+        )

@@ -26,6 +26,7 @@ def _refine_level(
     flow_v: jax.Array,
     cfg: PyramidConfig,
     backend: Backend,
+    rtl_clamp: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Iterative warp -> residual-LK -> accumulate at one pyramid level.
 
@@ -39,14 +40,16 @@ def _refine_level(
         return jnp.logical_and(i < cfg.iterations, jnp.logical_not(converged))
 
     def body(state):
-        u, v, i, _ = state
+        u, v, i, converged = state
+        if backend == "pallas" or rtl_clamp:
+            # RTL-style saturation (flow_solver.sv:134-144 analog) keeps
+            # the vertical displacement inside the warp kernel's band; a
+            # no-op for in-band motion.
+            u = jnp.clip(u, -cfg.max_disp, cfg.max_disp)
+            v = jnp.clip(v, -cfg.max_disp, cfg.max_disp)
         if backend == "pallas":
             from tpuflow.kernels import pallas_warp
 
-            # RTL-style saturation keeps the vertical displacement inside
-            # the warp kernel's band; a no-op for in-band motion.
-            u = jnp.clip(u, -cfg.max_disp, cfg.max_disp)
-            v = jnp.clip(v, -cfg.max_disp, cfg.max_disp)
             warped = pallas_warp.warp_image_banded(
                 img_curr, u, v, max_disp=cfg.max_disp
             )
@@ -59,15 +62,31 @@ def _refine_level(
             det_threshold=cfg.det_threshold,
             backend=backend,
         )
-        u = u + du
-        v = v + dv
-        converged = jnp.logical_and(
+        # Latch on convergence: under vmap the while_loop runs until every
+        # batch element converges, so already-converged elements must stop
+        # accumulating to keep per-frame semantics (the reference's break,
+        # python/lucas_kanade_pyramidal.py:221-223).
+        u = jnp.where(converged, u, u + du)
+        v = jnp.where(converged, v, v + dv)
+        now_converged = jnp.logical_and(
             jnp.mean(jnp.abs(du)) < cfg.convergence_threshold,
             jnp.mean(jnp.abs(dv)) < cfg.convergence_threshold,
         )
+        converged = jnp.logical_or(converged, now_converged)
         return u, v, i + 1, converged
 
-    init = (flow_u, flow_v, jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    # Tie the carry's device-varying annotation to the image data: under
+    # shard_map, all-gathered frames are marked varying while a fresh
+    # zeros/False init is not, and while_loop requires a stable carry
+    # type. Adding a data-derived zero/False keeps values identical while
+    # inheriting the variance annotation in every context.
+    tie = img_prev[0, 0] * 0.0
+    init = (
+        flow_u + tie,
+        flow_v + tie,
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(False) | (tie > 1.0),
+    )
     u, v, _, _ = jax.lax.while_loop(cond, body, init)
     return u, v
 
@@ -81,6 +100,7 @@ def lucas_kanade_pyramidal(
     *,
     config: PyramidConfig | None = None,
     backend: Backend = "jnp",
+    rtl_clamp: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Coarse-to-fine dense flow, reference-parity semantics.
 
@@ -105,6 +125,8 @@ def lucas_kanade_pyramidal(
         img_curr = pyr_curr[level]
         if level > 0:
             flow_u, flow_v = jnp_ref.upsample_flow(flow_u, flow_v, img_prev.shape)
-        flow_u, flow_v = _refine_level(img_prev, img_curr, flow_u, flow_v, cfg, backend)
+        flow_u, flow_v = _refine_level(
+            img_prev, img_curr, flow_u, flow_v, cfg, backend, rtl_clamp
+        )
 
     return flow_u, flow_v

@@ -96,11 +96,15 @@ def _lk_kernel(prev_hbm, curr_hbm, u_ref, v_ref, bufs, sems,
     # flipped kernel; reference python/lucas_kanade_core.py:31-40).
     # Gradient region covers image rows [r0-2, r0+TH+2) -> slab rows
     # [2, TH+6); same for columns -> (TH+4, W+4).
-    gh = tile_rows + 4
-    gw = width + 4
+    half = window // 2
+    gh = tile_rows + 2 * half
+    gw = width + 2 * half
+    base = APRON - half  # >= 1 for window <= 7
 
     def sh(dy, dx):  # shifted slab view over the gradient region
-        return jax.lax.slice(avg, (2 + dy, 2 + dx), (2 + dy + gh, 2 + dx + gw))
+        return jax.lax.slice(
+            avg, (base + dy, base + dx), (base + dy + gh, base + dx + gw)
+        )
 
     ix = (
         (sh(-1, -1) - sh(-1, 1))
@@ -112,8 +116,8 @@ def _lk_kernel(prev_hbm, curr_hbm, u_ref, v_ref, bufs, sems,
         + 2.0 * (sh(-1, 0) - sh(1, 0))
         + (sh(-1, 1) - sh(1, 1))
     ) * 0.125
-    it = jax.lax.slice(p, (2, 2), (2 + gh, 2 + gw)) - jax.lax.slice(
-        c, (2, 2), (2 + gh, 2 + gw)
+    it = jax.lax.slice(p, (base, base), (base + gh, base + gw)) - jax.lax.slice(
+        c, (base, base), (base + gh, base + gw)
     )
 
     # Separable window sums of the 5 structure-tensor planes (the RTL's
@@ -144,7 +148,6 @@ def _lk_kernel(prev_hbm, curr_hbm, u_ref, v_ref, bufs, sems,
 
     # Zero the half-window border (reference: flow only for fully-interior
     # windows, python/lucas_kanade_core.py:104-107) and any grid overhang.
-    half = window // 2
     r0 = (s % n_tiles) * tile_rows
     rows = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, width), 0) + r0
     cols = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, width), 1)
@@ -275,10 +278,9 @@ def lucas_kanade_fused(
     backend="jnp") — SURVEY.md §7 step 4. Accepts (H, W) frames or
     (B, H, W) batches; also composes with ``jax.vmap``.
     """
-    if window_size // 2 > 2:
-        # The slab apron is sized for window <= 5; larger windows take the
-        # jnp path (still XLA-fused) rather than silently mis-computing.
-        raise ValueError("pallas kernel supports window_size <= 5; use backend='jnp'")
+    if window_size // 2 + 1 > APRON:
+        # The slab apron covers Sobel (1) + window half; 3/5/7 windows fit.
+        raise ValueError("pallas kernel supports window_size <= 7; use backend='jnp'")
     if frame_prev.ndim == 3:
         return _fused_batched(
             frame_prev, frame_curr, window_size, det_threshold, tile_rows
