@@ -127,19 +127,40 @@ class TestBandedWarp:
             )
         np.testing.assert_allclose(got, ref, atol=1e-3)
 
-    def test_large_horizontal_displacement_exact(self, rng):
-        # u is unbounded (up to a 128-lane block); only v is banded.
+    def test_wider_band_exact(self, rng):
+        # A wider static band handles proportionally larger displacement.
         from tpuflow.kernels import pallas_warp
 
-        img, u, v = self._pair(rng, umax=60.0, vmax=7.5)
+        img, u, v = self._pair(rng, umax=22.0, vmax=22.0)
         ref = np.asarray(jnp_ref.warp_image(jnp.asarray(img), jnp.asarray(u), jnp.asarray(v)))
         with pltpu.force_tpu_interpret_mode():
             got = np.asarray(
                 pallas_warp.warp_image_banded(
-                    jnp.asarray(img), jnp.asarray(u), jnp.asarray(v), max_disp=8
+                    jnp.asarray(img), jnp.asarray(u), jnp.asarray(v), max_disp=24
                 )
             )
         np.testing.assert_allclose(got, ref, atol=1e-3)
+
+    def test_out_of_band_horizontal_saturates(self, rng):
+        # |u| beyond the band samples at the band edge (documented fast-
+        # mode semantics; the driver clamps flow before warping).
+        from tpuflow.kernels import pallas_warp
+
+        img = rng.uniform(1, 255, (48, 256)).astype(np.float32)
+        u = np.full((48, 256), 20.0, np.float32)  # beyond max_disp=8
+        z = np.zeros((48, 256), np.float32)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(
+                pallas_warp.warp_image_banded(
+                    jnp.asarray(img), jnp.asarray(u), jnp.asarray(z), max_disp=8
+                )
+            )
+        # Saturated sample = value 8 px to the right (band edge).
+        expected = np.asarray(
+            jnp_ref.warp_image(jnp.asarray(img), jnp.asarray(z + 8.0), jnp.asarray(z))
+        )
+        interior = np.s_[:, : 256 - 21]
+        np.testing.assert_allclose(got[interior], expected[interior], atol=1e-3)
 
     def test_out_of_band_vertical_reads_zero(self, rng):
         from tpuflow.kernels import pallas_warp

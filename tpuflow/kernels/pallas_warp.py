@@ -9,20 +9,25 @@ the warp around what the hardware can do:
 
 - **Horizontal**: ``tpu.dynamic_gather`` gathers within a single 128-lane
   vreg. The band is viewed as (rows x blocks, 128) — a layout-preserving
-  reshape — and each output lane gathers from its own block at the
-  block-local index, with +-1-block shifted copies covering samples that
-  cross a block edge. Exact for |u| < 128.
+  reshape. Because the fast path bounds |u| <= max_disp, two copies of
+  the band lane-shifted by -+(max_disp+1) give every output lane a copy
+  whose vreg contains its whole sample range: lanes in the lower half of
+  each block gather from the left-shifted copy, upper half from the
+  right-shifted one — a STATIC selection, two hardware gathers per
+  corner per candidate row. Exact for |u| <= max_disp (max_disp <= 31);
+  horizontal samples beyond the band are clamped to the band edge.
 - **Vertical**: displacement is bounded by a static band ``max_disp``
   (the analog of the RTL's S8.7 +-8 px flow clamp,
   flow_solver.sv:134-144). Each output row tile DMAs a
   (tile + 2*band)-row slab; candidate source rows are combined with
   equality masks — one hardware gather pair per candidate row.
 
-Within |v| <= max_disp and |u| < 128 the result matches the jnp warp to
-f32 rounding (tests/test_pallas_kernels.py); vertical displacements
-beyond the band read 0, like an out-of-bounds sample. Callers needing
-unbounded parity semantics use the jnp warp; the fast pyramidal driver
-clamps flow to the band first (RTL-clamp semantics).
+Within |u|,|v| <= max_disp the result matches the jnp warp to f32
+rounding (tests/test_pallas_kernels.py); vertical displacements beyond
+the band read 0 (like an out-of-bounds sample) and horizontal ones
+saturate at the band edge. Callers needing unbounded parity semantics
+use the jnp warp; the fast pyramidal driver clamps flow to the band
+first (RTL-clamp semantics).
 
 Natively batched over a flattened (batch * row_tiles) grid with a
 ``custom_vmap`` rule, so ``vmap`` over frame streams composes.
@@ -71,17 +76,17 @@ def _warp_kernel(img_hbm, u_ref, v_ref, out_ref, band_sl, sem,
     fx = xf - x0f
     fy = yf - y0f
 
-    # Block-local horizontal gather coordinates (clipped like the jnp
-    # warp's corner clip; true OOB is zeroed by the inside mask below).
-    x0 = jnp.clip(x0f.astype(jnp.int32), 0, width - 1)
-    x1 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, width - 1)
+    # Horizontal gather coordinates. The fast-path contract bounds
+    # |u| <= max_disp, so x0 for output lane j lies in
+    # [j - max_disp - 1, j + max_disp]; clamp defensively so the static
+    # copy selection below stays in range even for out-of-contract flow
+    # (true OOB is zeroed by the inside mask either way).
+    shift = max_disp + 1
+    lo = xx_i - shift
+    hi = xx_i + max_disp
+    x0 = jnp.clip(jnp.clip(x0f.astype(jnp.int32), lo, hi), 0, width - 1)
+    x1 = jnp.clip(jnp.clip(x0f.astype(jnp.int32) + 1, lo, hi + 1), 0, width - 1)
     my_block = jax.lax.shift_right_logical(xx_i, 7)
-
-    def block_parts(xi):
-        return jax.lax.shift_right_logical(xi, 7), jnp.bitwise_and(xi, 127)
-
-    b0, l0 = block_parts(x0)
-    b1, l1 = block_parts(x1)
 
     # Vertical candidate offset: band row d holds image row r0 + d - dpad,
     # so the upper source row sits at local offset floor(v) + dpad.
@@ -90,36 +95,43 @@ def _warp_kernel(img_hbm, u_ref, v_ref, out_ref, band_sl, sem,
     def rs(a):  # (th, wp) -> gather space (th*nb, 128); layout-preserving
         return a.reshape(th * nb, 128)
 
-    l0_r, l1_r = rs(l0), rs(l1)
+    # Copy A is the band shifted left by `shift` lanes (block b holds
+    # image cols [128b - shift, 128b - shift + 128)), copy B shifted
+    # right. Lanes j%128 < 64 always fit copy A's vreg, the rest copy B
+    # (valid because shift + max_disp + 1 <= 64).
+    base = my_block * 128
+    idx_a0 = rs(jnp.clip(x0 - base + shift, 0, 127))
+    idx_b0 = rs(jnp.clip(x0 - base - shift, 0, 127))
+    idx_a1 = rs(jnp.clip(x1 - base + shift, 0, 127))
+    idx_b1 = rs(jnp.clip(x1 - base - shift, 0, 127))
+    # f32 0/1 mask (Mosaic cannot widen an i1 plane to f32 in a select).
+    lower = rs((jnp.bitwise_and(xx_i, 127) < 64).astype(jnp.float32))
     fx_r = rs(fx)
-    sel0 = [rs((b0 - my_block == k).astype(jnp.float32)) for k in (-1, 0, 1)]
-    sel1 = [rs((b1 - my_block == k).astype(jnp.float32)) for k in (-1, 0, 1)]
     dy_r = rs(dy_local)
 
     band = band_sl[:]
-    # One lane-shifted reshaped copy of the band per block offset: block b
-    # of band_rs[k] holds image columns [128*(b+k), 128*(b+k)+128).
-    band_rs = [
-        jax.lax.slice(band, (0, 128 + 128 * k), (band_h, 128 + 128 * k + wp))
-        .reshape(band_h * nb, 128)
-        for k in (-1, 0, 1)
-    ]
+    band_a = jax.lax.slice(
+        band, (0, 128 - shift), (band_h, 128 - shift + wp)
+    ).reshape(band_h * nb, 128)
+    band_b = jax.lax.slice(
+        band, (0, 128 + shift), (band_h, 128 + shift + wp)
+    ).reshape(band_h * nb, 128)
 
     acc0 = jnp.zeros((th * nb, 128), jnp.float32)
     acc1 = jnp.zeros((th * nb, 128), jnp.float32)
     for dy in range(dpad - max_disp, dpad + max_disp + 2):
-        g0 = jnp.zeros((th * nb, 128), jnp.float32)
-        g1 = jnp.zeros((th * nb, 128), jnp.float32)
-        for k in range(3):
-            rows = jax.lax.slice(
-                band_rs[k], (dy * nb, 0), ((dy + th) * nb, 128)
-            )
-            g0 = g0 + sel0[k] * jnp.take_along_axis(
-                rows, l0_r, axis=1, mode="promise_in_bounds"
-            )
-            g1 = g1 + sel1[k] * jnp.take_along_axis(
-                rows, l1_r, axis=1, mode="promise_in_bounds"
-            )
+        rows_a = jax.lax.slice(band_a, (dy * nb, 0), ((dy + th) * nb, 128))
+        rows_b = jax.lax.slice(band_b, (dy * nb, 0), ((dy + th) * nb, 128))
+        g0 = lower * jnp.take_along_axis(
+            rows_a, idx_a0, axis=1, mode="promise_in_bounds"
+        ) + (1.0 - lower) * jnp.take_along_axis(
+            rows_b, idx_b0, axis=1, mode="promise_in_bounds"
+        )
+        g1 = lower * jnp.take_along_axis(
+            rows_a, idx_a1, axis=1, mode="promise_in_bounds"
+        ) + (1.0 - lower) * jnp.take_along_axis(
+            rows_b, idx_b1, axis=1, mode="promise_in_bounds"
+        )
         h = g0 * (1.0 - fx_r) + g1 * fx_r
         acc0 = acc0 + jnp.where(dy_r == dy, h, 0.0)
         acc1 = acc1 + jnp.where(dy_r == dy - 1, h, 0.0)
@@ -235,11 +247,13 @@ def warp_image_banded(
 ) -> jax.Array:
     """Backward bilinear warp, out(x,y) = image(x+u, y+v), OOB -> 0.
 
-    Exact for |v| <= ``max_disp`` and |u| < 128; vertical displacements
-    beyond the band read 0. ``max_disp`` is static; the default mirrors
-    the reference RTL's +-8 px flow clamp (flow_solver.sv:134-144).
-    Accepts (H, W) or (B, H, W); composes with ``jax.vmap``.
+    Exact for |u|,|v| <= ``max_disp`` (<= 31); vertical displacements
+    beyond the band read 0, horizontal ones saturate at the band edge.
+    ``max_disp`` is static; the default mirrors the reference RTL's
+    +-8 px flow clamp (flow_solver.sv:134-144). Accepts (H, W) or
+    (B, H, W); composes with ``jax.vmap``.
     """
+    assert max_disp <= 31, "banded warp supports max_disp <= 31"
     if image.ndim == 3:
         return _warp_batched(image, flow_u, flow_v, max_disp, tile_rows)
     return _make_warp(max_disp, tile_rows)(image, flow_u, flow_v)
