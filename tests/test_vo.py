@@ -335,3 +335,72 @@ def test_odometry_pipeline_recovers_planar_translation():
     span = positions[-1, 0] - positions[0, 0]
     assert np.abs(positions[1:, 1]).max() < 0.6 * span
     assert np.abs(positions[1:, 2]).max() < 0.6 * span
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint / resume (SURVEY.md §5: back-end state persistence)
+# ---------------------------------------------------------------------------
+
+
+def test_odometry_checkpoint_resume_bit_identical(tmp_path):
+    """Interrupting a session with save/load mid-sequence must change
+    nothing: the resumed run's BA solution is bit-identical to the
+    uninterrupted run's."""
+    from scipy.ndimage import shift as nd_shift
+
+    from tpuflow.eval import patterns
+    from tpuflow.vo import checkpoint
+    from tpuflow.vo.pipeline import OdometrySession
+
+    base = patterns.load_base_texture(160, 120).astype(np.float32)
+    frames = [
+        nd_shift(base, (0.0, -1.2 * i), order=1, mode="nearest")
+        for i in range(5)
+    ]
+    intr = (150.0, 150.0, 80.0, 60.0)
+
+    straight = OdometrySession(intr, grid_step=16)
+    for f in frames:
+        straight.process_frame(f)
+    ref = straight.solve(ba_iterations=6)
+
+    first = OdometrySession(intr, grid_step=16)
+    for f in frames[:3]:
+        first.process_frame(f)
+    ckpt = tmp_path / "vo_ckpt"
+    checkpoint.save(first, str(ckpt))
+    assert (ckpt / "meta.json").exists()
+
+    resumed = checkpoint.load(str(ckpt))
+    assert resumed.frame_index == 2
+    assert resumed.backend == "jnp"
+    for f in frames[3:]:
+        resumed.process_frame(f)
+    out = resumed.solve(ba_iterations=6)
+
+    assert out.keyframe_indices == ref.keyframe_indices
+    np.testing.assert_array_equal(out.poses_r, ref.poses_r)
+    np.testing.assert_array_equal(out.poses_t, ref.poses_t)
+    np.testing.assert_array_equal(out.landmarks, ref.landmarks)
+    assert out.track_count == ref.track_count
+
+
+def test_run_odometry_matches_session():
+    """run_odometry is a thin wrapper over OdometrySession."""
+    from scipy.ndimage import shift as nd_shift
+
+    from tpuflow.eval import patterns
+    from tpuflow.vo.pipeline import OdometrySession, run_odometry
+
+    base = patterns.load_base_texture(160, 120).astype(np.float32)
+    frames = [
+        nd_shift(base, (0.0, -1.0 * i), order=1, mode="nearest")
+        for i in range(3)
+    ]
+    intr = (150.0, 150.0, 80.0, 60.0)
+    a = run_odometry(frames, intr, ba_iterations=4)
+    sess = OdometrySession(intr)
+    for f in frames:
+        sess.process_frame(f)
+    b = sess.solve(ba_iterations=4)
+    np.testing.assert_array_equal(a.poses_t, b.poses_t)

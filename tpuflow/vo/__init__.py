@@ -1,3 +1,3 @@
-from tpuflow.vo import se3, tracking, pose_graph, ba
+from tpuflow.vo import se3, tracking, pose_graph, ba, checkpoint
 
-__all__ = ["se3", "tracking", "pose_graph", "ba"]
+__all__ = ["se3", "tracking", "pose_graph", "ba", "checkpoint"]

@@ -7,6 +7,11 @@ trajectory is recovered up to the usual 7-DOF gauge; landmarks are
 initialized by back-projecting first observations at ``init_depth`` and
 camera 0 is pinned, so reported translations are in units of
 ``init_depth`` scale.
+
+Long sequences run through :class:`OdometrySession`, which processes
+frames incrementally and can be checkpointed/resumed at any frame
+boundary (tpuflow.vo.checkpoint) — the back-end state persistence the
+reference has no counterpart for (SURVEY.md §5 "Checkpoint / resume").
 """
 
 from __future__ import annotations
@@ -27,6 +32,198 @@ class OdometryResult:
     mean_reprojection_error: float
 
 
+class OdometrySession:
+    """Incremental VO: feed frames one at a time, solve/checkpoint anytime.
+
+    State = tracker table + per-keyframe observation records + the last
+    frame (needed to compute flow to the next one). Everything is held
+    as NumPy so a session round-trips exactly through
+    ``state_dict``/``from_state``.
+    """
+
+    def __init__(
+        self,
+        intrinsics: Sequence[float],
+        keyframe_stride: int = 1,
+        grid_step: int = 16,
+        init_depth: float = 5.0,
+        backend: str = "jnp",
+    ) -> None:
+        import jax
+
+        from tpuflow.flow import lucas_kanade_pyramidal
+
+        self.intrinsics = tuple(float(x) for x in intrinsics)
+        self.keyframe_stride = int(keyframe_stride)
+        self.grid_step = int(grid_step)
+        self.init_depth = float(init_depth)
+        self.backend = backend
+
+        self._flow_fn = jax.jit(
+            lambda p, c: lucas_kanade_pyramidal(p, c, backend=backend)
+        )
+
+        # Mutable state (set by start / from_state).
+        self.frame_index = -1
+        self.keyframes: list[int] = []
+        self.obs_uv: list[np.ndarray] = []      # per keyframe: (N, 2)
+        self.obs_valid: list[np.ndarray] = []   # per keyframe: (N,) bool
+        self._tracks = None                     # tracking.Tracks
+        self._prev_frame: np.ndarray | None = None
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self, first_frame: np.ndarray) -> None:
+        """Seed features on the first frame and record keyframe 0."""
+        import jax.numpy as jnp
+
+        from tpuflow.vo import tracking
+
+        frame = jnp.asarray(first_frame, jnp.float32)
+        self._tracks = tracking.seed_grid(frame, grid_step=self.grid_step)
+        self._prev_frame = np.asarray(frame)
+        self.frame_index = 0
+        self.keyframes = [0]
+        self._record()
+
+    def process_frame(self, frame: np.ndarray) -> None:
+        """Advance tracks by dense flow prev->frame; record on keyframes."""
+        import jax.numpy as jnp
+
+        from tpuflow.vo import tracking
+
+        if self.frame_index < 0:
+            self.start(frame)
+            return
+        cur = jnp.asarray(frame, jnp.float32)
+        u, v = self._flow_fn(jnp.asarray(self._prev_frame), cur)
+        self._tracks = tracking.advance(self._tracks, u, v)
+        self._prev_frame = np.asarray(cur)
+        self.frame_index += 1
+        if self.frame_index % self.keyframe_stride == 0:
+            self.keyframes.append(self.frame_index)
+            self._record()
+
+    def _record(self) -> None:
+        self.obs_uv.append(np.asarray(self._tracks.xy, np.float32))
+        self.obs_valid.append(np.asarray(self._tracks.alive))
+
+    # -- solve -------------------------------------------------------------
+
+    def solve(self, ba_iterations: int = 8) -> OdometryResult:
+        """Bundle-adjust the keyframe poses recorded so far."""
+        import jax.numpy as jnp
+
+        from tpuflow.vo import ba
+
+        fx, fy, cx, cy = self.intrinsics
+        k = len(self.keyframes)
+        n_tracks = self.obs_uv[0].shape[0]
+        uv = np.concatenate(self.obs_uv)
+        cam = np.concatenate(
+            [np.full(n_tracks, i, np.int32) for i in range(k)]
+        )
+        lm_idx = np.concatenate(
+            [np.arange(n_tracks, dtype=np.int32)] * k
+        )
+        valid = np.concatenate(self.obs_valid)
+
+        # Landmarks: back-project each track's first observation at the
+        # initialization depth (monocular scale convention).
+        first = self.obs_uv[0]
+        landmarks = np.stack(
+            [
+                (first[:, 0] - cx) / fx * self.init_depth,
+                (first[:, 1] - cy) / fy * self.init_depth,
+                np.full(n_tracks, self.init_depth, np.float32),
+            ],
+            axis=1,
+        ).astype(np.float32)
+
+        problem = ba.BAProblem(
+            poses_r=jnp.tile(jnp.eye(3)[None], (k, 1, 1)),
+            poses_t=jnp.zeros((k, 3)),
+            landmarks=jnp.asarray(landmarks),
+            obs_uv=jnp.asarray(uv, jnp.float32),
+            obs_cam=jnp.asarray(cam),
+            obs_lm=jnp.asarray(lm_idx),
+            obs_valid=jnp.asarray(valid),
+            intrinsics=jnp.asarray(self.intrinsics, jnp.float32),
+        )
+        solved = ba.solve(problem, iterations=ba_iterations, fixed_cams=(0,))
+        err = ba.reprojection_errors(solved)
+        alive = np.asarray(problem.obs_valid)
+        mean_err = float(np.asarray(err)[alive].mean()) if alive.any() else 0.0
+
+        return OdometryResult(
+            poses_r=np.asarray(solved.poses_r),
+            poses_t=np.asarray(solved.poses_t),
+            landmarks=np.asarray(solved.landmarks),
+            keyframe_indices=list(self.keyframes),
+            track_count=int(np.asarray(self._tracks.alive).sum()),
+            mean_reprojection_error=mean_err,
+        )
+
+    # -- checkpointable state ---------------------------------------------
+
+    def state_dict(self) -> dict:
+        """Array-only pytree capturing the full resumable state."""
+        from tpuflow.vo import tracking  # noqa: F401  (Tracks fields below)
+
+        t = self._tracks
+        return {
+            "frame_index": np.int64(self.frame_index),
+            "keyframes": np.asarray(self.keyframes, np.int64),
+            "obs_uv": np.stack(self.obs_uv),          # (K, N, 2)
+            "obs_valid": np.stack(self.obs_valid),    # (K, N)
+            "prev_frame": np.asarray(self._prev_frame, np.float32),
+            "tracks_xy": np.asarray(t.xy, np.float32),
+            "tracks_start_xy": np.asarray(t.start_xy, np.float32),
+            "tracks_age": np.asarray(t.age, np.int32),
+            "tracks_alive": np.asarray(t.alive, bool),
+        }
+
+    def meta_dict(self) -> dict:
+        """JSON-able static configuration."""
+        return {
+            "intrinsics": list(self.intrinsics),
+            "keyframe_stride": self.keyframe_stride,
+            "grid_step": self.grid_step,
+            "init_depth": self.init_depth,
+            "backend": self.backend,
+        }
+
+    @classmethod
+    def from_state(cls, meta: dict, state: dict) -> "OdometrySession":
+        import jax.numpy as jnp
+
+        from tpuflow.vo import tracking
+
+        sess = cls(
+            intrinsics=meta["intrinsics"],
+            keyframe_stride=meta["keyframe_stride"],
+            grid_step=meta["grid_step"],
+            init_depth=meta["init_depth"],
+            backend=meta["backend"],
+        )
+        sess.frame_index = int(state["frame_index"])
+        sess.keyframes = [int(x) for x in np.asarray(state["keyframes"])]
+        sess.obs_uv = [
+            np.asarray(x, np.float32) for x in np.asarray(state["obs_uv"])
+        ]
+        sess.obs_valid = [
+            np.asarray(x, bool) for x in np.asarray(state["obs_valid"])
+        ]
+        sess._prev_frame = np.asarray(state["prev_frame"], np.float32)
+        sess._tracks = tracking.Tracks(
+            xy=jnp.asarray(state["tracks_xy"], jnp.float32),
+            start_xy=jnp.asarray(state["tracks_start_xy"], jnp.float32),
+            age=jnp.asarray(state["tracks_age"], jnp.int32),
+            alive=jnp.asarray(np.asarray(state["tracks_alive"], bool)),
+        )
+        return sess
+
+
 def run_odometry(
     frames: Sequence[np.ndarray],
     intrinsics: Sequence[float],
@@ -41,82 +238,13 @@ def run_odometry(
     frames: grayscale float32 arrays (all the same shape).
     intrinsics: (fx, fy, cx, cy).
     """
-    import jax
-    import jax.numpy as jnp
-
-    from tpuflow.flow import lucas_kanade_pyramidal
-    from tpuflow.vo import ba, tracking
-
-    frames = [jnp.asarray(f, jnp.float32) for f in frames]
-    intr = jnp.asarray(intrinsics, jnp.float32)
-    fx, fy, cx, cy = (float(x) for x in intrinsics)
-
-    flow_fn = jax.jit(
-        lambda p, c: lucas_kanade_pyramidal(p, c, backend=backend)
+    session = OdometrySession(
+        intrinsics,
+        keyframe_stride=keyframe_stride,
+        grid_step=grid_step,
+        init_depth=init_depth,
+        backend=backend,
     )
-
-    tracks = tracking.seed_grid(frames[0], grid_step=grid_step)
-    n_tracks = tracks.xy.shape[0]
-
-    # Observation collection: every keyframe records the live tracks.
-    keyframes = [0]
-    obs_uv: list[np.ndarray] = []
-    obs_cam: list[np.ndarray] = []
-    obs_lm: list[np.ndarray] = []
-    obs_valid: list[np.ndarray] = []
-
-    def record(k_idx: int, trk) -> None:
-        obs_uv.append(np.asarray(trk.xy))
-        obs_cam.append(np.full(n_tracks, k_idx, np.int32))
-        obs_lm.append(np.arange(n_tracks, dtype=np.int32))
-        obs_valid.append(np.asarray(trk.alive))
-
-    record(0, tracks)
-    for i in range(1, len(frames)):
-        u, v = flow_fn(frames[i - 1], frames[i])
-        tracks = tracking.advance(tracks, u, v)
-        if i % keyframe_stride == 0:
-            keyframes.append(i)
-            record(len(keyframes) - 1, tracks)
-
-    k = len(keyframes)
-    uv = np.concatenate(obs_uv)
-    cam = np.concatenate(obs_cam)
-    lm_idx = np.concatenate(obs_lm)
-    valid = np.concatenate(obs_valid)
-
-    # Landmarks: back-project each track's first observation at the
-    # initialization depth (monocular scale convention).
-    first = np.asarray(obs_uv[0])
-    landmarks = np.stack(
-        [
-            (first[:, 0] - cx) / fx * init_depth,
-            (first[:, 1] - cy) / fy * init_depth,
-            np.full(n_tracks, init_depth, np.float32),
-        ],
-        axis=1,
-    ).astype(np.float32)
-
-    problem = ba.BAProblem(
-        poses_r=jnp.tile(jnp.eye(3)[None], (k, 1, 1)),
-        poses_t=jnp.zeros((k, 3)),
-        landmarks=jnp.asarray(landmarks),
-        obs_uv=jnp.asarray(uv, jnp.float32),
-        obs_cam=jnp.asarray(cam),
-        obs_lm=jnp.asarray(lm_idx),
-        obs_valid=jnp.asarray(valid),
-        intrinsics=intr,
-    )
-    solved = ba.solve(problem, iterations=ba_iterations, fixed_cams=(0,))
-    err = ba.reprojection_errors(solved)
-    alive = np.asarray(problem.obs_valid)
-    mean_err = float(np.asarray(err)[alive].mean()) if alive.any() else 0.0
-
-    return OdometryResult(
-        poses_r=np.asarray(solved.poses_r),
-        poses_t=np.asarray(solved.poses_t),
-        landmarks=np.asarray(solved.landmarks),
-        keyframe_indices=keyframes,
-        track_count=int(np.asarray(tracks.alive).sum()),
-        mean_reprojection_error=mean_err,
-    )
+    for frame in frames:
+        session.process_frame(frame)
+    return session.solve(ba_iterations=ba_iterations)
