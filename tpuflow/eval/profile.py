@@ -136,9 +136,35 @@ def main() -> None:
     parser = argparse.ArgumentParser(description="Profile the flow pipeline")
     parser.add_argument("--height", type=int, default=1080)
     parser.add_argument("--width", type=int, default=1920)
+    parser.add_argument(
+        "--trace", type=str, default=None, metavar="DIR",
+        help="additionally capture a jax.profiler device trace of one "
+        "pyramidal solve into DIR (open with TensorBoard / xprof) — the "
+        "TPU analog of the reference's waveform dumps "
+        "(run_sim.sh +dump_waves)",
+    )
     args = parser.parse_args()
     rows = profile_pipeline(args.height, args.width)
     print(format_report(rows, args.height, args.width))
+    if args.trace:
+        import jax
+        import jax.numpy as jnp
+
+        from tpuflow.flow import lucas_kanade_pyramidal
+
+        rng = np.random.default_rng(0)
+        a = jnp.asarray(
+            rng.uniform(0, 255, (args.height, args.width)), jnp.float32
+        )
+        b = jnp.roll(a, 2, axis=1)
+        fn = jax.jit(
+            lambda p, c: lucas_kanade_pyramidal(p, c, backend="pallas")
+        )
+        fn(a, b)[0].block_until_ready()  # compile outside the trace
+        with jax.profiler.trace(args.trace):
+            u, _ = fn(a, b)
+            u.block_until_ready()
+        print(f"device trace -> {args.trace}")
 
 
 if __name__ == "__main__":

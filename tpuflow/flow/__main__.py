@@ -1,0 +1,150 @@
+"""Frame-pair flow CLI — the reference's single-scale / pyramidal driver
+scripts as one tool.
+
+Reference parity: python/lucas_kanade_reference.py:106-208 (load
+frame_00/01.bin, run single-scale, print statistics over the textured
+test region y[105:135] x[55:85], export ``flow_field_python.txt`` and a
+quiver plot) and the pyramidal wrapper main() in
+python/lucas_kanade_pyramidal.py. One CLI covers both modes plus the
+TPU fast path:
+
+    python -m tpuflow.flow FRAME_DIR [--pyramidal] [--backend pallas]
+        [--width W --height H] [--region x0 x1 y0 y1]
+        [--export flow.txt] [--plot flow.png] [--compare other.txt]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def region_stats(u: np.ndarray, v: np.ndarray, region) -> dict:
+    """Mean/std statistics over the test region (reference
+    lucas_kanade_reference.py prints the same block for x[55:85]
+    y[105:135])."""
+    x0, x1, y0, y1 = region
+    ru = u[y0:y1, x0:x1]
+    rv = v[y0:y1, x0:x1]
+    mag = np.sqrt(ru**2 + rv**2)
+    return {
+        "mean_u": float(ru.mean()),
+        "mean_v": float(rv.mean()),
+        "std_u": float(ru.std()),
+        "std_v": float(rv.std()),
+        "mean_magnitude": float(mag.mean()),
+        "nonzero_fraction": float((mag > 1e-6).mean()),
+    }
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(
+        prog="python -m tpuflow.flow",
+        description="Dense Lucas-Kanade flow on a frame_00/01 pair",
+    )
+    parser.add_argument(
+        "frame_dir",
+        help="directory containing frame_00.bin and frame_01.bin "
+        "(or .mem with --mem)",
+    )
+    parser.add_argument("--mem", action="store_true",
+                        help="load $readmemh .mem frames instead of .bin")
+    parser.add_argument("--width", type=int, default=320)
+    parser.add_argument("--height", type=int, default=240)
+    parser.add_argument("--pyramidal", action="store_true",
+                        help="3-level coarse-to-fine instead of single-scale")
+    parser.add_argument("--pyramid-config", type=str, default="default",
+                        help="named config: default/shallow/deep/large_window")
+    parser.add_argument("--window-size", type=int, default=5)
+    parser.add_argument("--backend", type=str, default="jnp",
+                        choices=["jnp", "pallas"])
+    parser.add_argument("--region", type=int, nargs=4,
+                        metavar=("X0", "X1", "Y0", "Y1"),
+                        default=[55, 85, 105, 135],
+                        help="stats region (reference test region default)")
+    parser.add_argument("--export", type=str, default=None,
+                        help="write x-y-u-v flow text dump here")
+    parser.add_argument("--plot", type=str, default=None,
+                        help="write a quiver plot PNG here")
+    parser.add_argument("--compare", type=str, default=None,
+                        help="x-y-u-v dump to diff against (e.g. the "
+                        "reference RTL's flow_field_rtl.txt)")
+    args = parser.parse_args()
+
+    from pathlib import Path
+
+    from tpuflow.io import frames as fio
+
+    d = Path(args.frame_dir)
+    ext = "mem" if args.mem else "bin"
+    f0p, f1p = d / f"frame_00.{ext}", d / f"frame_01.{ext}"
+    for p in (f0p, f1p):
+        if not p.exists():
+            print(f"error: {p} not found", file=sys.stderr)
+            sys.exit(1)
+    load = fio.load_frame_mem if args.mem else fio.load_frame_bin
+    f0 = load(f0p, args.width, args.height)
+    f1 = load(f1p, args.width, args.height)
+
+    import jax.numpy as jnp
+
+    from tpuflow.core.config import PYRAMID_CONFIGS
+    from tpuflow.flow import (
+        lucas_kanade_pyramidal,
+        lucas_kanade_single_scale,
+    )
+
+    if args.pyramidal:
+        cfg = PYRAMID_CONFIGS[args.pyramid_config]
+        u, v = lucas_kanade_pyramidal(
+            jnp.asarray(f0), jnp.asarray(f1),
+            config=cfg, backend=args.backend,
+        )
+        mode = f"pyramidal[{args.pyramid_config}]"
+    else:
+        u, v = lucas_kanade_single_scale(
+            jnp.asarray(f0), jnp.asarray(f1),
+            window_size=args.window_size, backend=args.backend,
+        )
+        mode = "single-scale"
+    u = np.asarray(u)
+    v = np.asarray(v)
+
+    x0, x1, y0, y1 = args.region
+    stats = region_stats(u, v, args.region)
+    print(f"mode: {mode}  backend: {args.backend}  "
+          f"frame: {args.width}x{args.height}")
+    print(f"test region x[{x0}:{x1}] y[{y0}:{y1}]:")
+    for k, val in stats.items():
+        print(f"  {k:18s} {val:10.4f}")
+
+    if args.export:
+        fio.save_flow_text(
+            args.export, u, v,
+            header=f"tpuflow {mode} backend={args.backend}",
+        )
+        print(f"flow field -> {args.export}")
+
+    if args.compare:
+        cu, cv = fio.load_flow_text(args.compare)
+        if cu.shape != u.shape:
+            print(f"error: compare dump shape {cu.shape} != {u.shape}",
+                  file=sys.stderr)
+            sys.exit(1)
+        du = np.abs(u - cu)
+        dv = np.abs(v - cv)
+        print(f"vs {args.compare}: mae_u={du.mean():.4f} "
+              f"mae_v={dv.mean():.4f} max_u={du.max():.4f} "
+              f"max_v={dv.max():.4f}")
+
+    if args.plot:
+        from tpuflow.eval import visualize
+
+        visualize.quiver_plot(u, v, f"tpuflow {mode}", args.plot)
+        print(f"quiver plot -> {args.plot}")
+
+
+if __name__ == "__main__":
+    main()

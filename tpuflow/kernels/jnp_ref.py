@@ -127,12 +127,14 @@ def downsample_image(image: jax.Array, scale_factor: float = 0.5) -> jax.Array:
     Twin of reference python/lucas_kanade_pyramidal.py:44-59: sigma =
     1/scale_factor, new dims = int(dim * scale_factor), resample on the
     linspace grid (NOT area averaging, NOT jax.image.resize defaults).
+    Runs as the composed per-axis operator on the MXU
+    (ops.downsample_fused) — same linear map, f32-rounding-equivalent to
+    smoothing then resampling sequentially.
     """
     sigma = 1.0 / scale_factor
     h, w = image.shape
     nh, nw = int(h * scale_factor), int(w * scale_factor)
-    smoothed = ops.gaussian_filter(image, sigma)
-    return ops.resize_bilinear(smoothed, nh, nw)
+    return ops.downsample_fused(image, nh, nw, sigma)
 
 
 def build_gaussian_pyramid(

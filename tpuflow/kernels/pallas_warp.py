@@ -104,9 +104,20 @@ def _warp_kernel(img_hbm, u_ref, v_ref, out_ref, band_sl, sem,
     idx_b0 = rs(jnp.clip(x0 - base - shift, 0, 127))
     idx_a1 = rs(jnp.clip(x1 - base + shift, 0, 127))
     idx_b1 = rs(jnp.clip(x1 - base - shift, 0, 127))
-    # f32 0/1 mask (Mosaic cannot widen an i1 plane to f32 in a select).
-    lower = rs((jnp.bitwise_and(xx_i, 127) < 64).astype(jnp.float32))
+    # Gather-space lane mask (lane < 64 <=> original col % 128 < 64).
+    # Generated directly in gather space: Mosaic cannot reshape an i1
+    # vector, and widening to f32 for arithmetic masking costs 3 VPU ops
+    # per combine where a select costs 1.
+    lower_b = (
+        jax.lax.broadcasted_iota(jnp.int32, (th * nb, 128), 1) < 64
+    )
     fx_r = rs(fx)
+    fxc_r = 1.0 - fx_r
+    # Vertical weights in gather space: candidate dy contributes the
+    # (1-fy) share where it is the upper source row (dy_r == dy) and the
+    # fy share where it is the lower one (dy_r == dy - 1).
+    fy_r = rs(fy)
+    fyc_r = 1.0 - fy_r
     dy_r = rs(dy_local)
 
     band = band_sl[:]
@@ -117,26 +128,36 @@ def _warp_kernel(img_hbm, u_ref, v_ref, out_ref, band_sl, sem,
         band, (0, 128 + shift), (band_h, 128 + shift + wp)
     ).reshape(band_h * nb, 128)
 
-    acc0 = jnp.zeros((th * nb, 128), jnp.float32)
-    acc1 = jnp.zeros((th * nb, 128), jnp.float32)
+    acc = jnp.zeros((th * nb, 128), jnp.float32)
+    zero = jnp.zeros((th * nb, 128), jnp.float32)
     for dy in range(dpad - max_disp, dpad + max_disp + 2):
         rows_a = jax.lax.slice(band_a, (dy * nb, 0), ((dy + th) * nb, 128))
         rows_b = jax.lax.slice(band_b, (dy * nb, 0), ((dy + th) * nb, 128))
-        g0 = lower * jnp.take_along_axis(
-            rows_a, idx_a0, axis=1, mode="promise_in_bounds"
-        ) + (1.0 - lower) * jnp.take_along_axis(
-            rows_b, idx_b0, axis=1, mode="promise_in_bounds"
+        g0 = jnp.where(
+            lower_b,
+            jnp.take_along_axis(
+                rows_a, idx_a0, axis=1, mode="promise_in_bounds"
+            ),
+            jnp.take_along_axis(
+                rows_b, idx_b0, axis=1, mode="promise_in_bounds"
+            ),
         )
-        g1 = lower * jnp.take_along_axis(
-            rows_a, idx_a1, axis=1, mode="promise_in_bounds"
-        ) + (1.0 - lower) * jnp.take_along_axis(
-            rows_b, idx_b1, axis=1, mode="promise_in_bounds"
+        g1 = jnp.where(
+            lower_b,
+            jnp.take_along_axis(
+                rows_a, idx_a1, axis=1, mode="promise_in_bounds"
+            ),
+            jnp.take_along_axis(
+                rows_b, idx_b1, axis=1, mode="promise_in_bounds"
+            ),
         )
-        h = g0 * (1.0 - fx_r) + g1 * fx_r
-        acc0 = acc0 + jnp.where(dy_r == dy, h, 0.0)
-        acc1 = acc1 + jnp.where(dy_r == dy - 1, h, 0.0)
+        h = g0 * fxc_r + g1 * fx_r
+        w_dy = jnp.where(
+            dy_r == dy, fyc_r, jnp.where(dy_r == dy - 1, fy_r, zero)
+        )
+        acc = acc + h * w_dy
 
-    out = acc0.reshape(th, wp) * (1.0 - fy) + acc1.reshape(th, wp) * fy
+    out = acc.reshape(th, wp)
     inside = (
         (xf >= 0.0)
         & (xf <= float(width - 1))
