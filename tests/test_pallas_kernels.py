@@ -248,3 +248,87 @@ class TestBatching:
             )(prev, curr)
             u1, v1 = lucas_kanade_pyramidal(prev[0], curr[0], backend="pallas")
             np.testing.assert_allclose(np.asarray(ub[0]), np.asarray(u1), atol=1e-4)
+
+
+class TestFusedRefine:
+    """lucas_kanade_refine (fused clip+LK+accumulate+sums) vs the
+    manual composition it replaces."""
+
+    def _setup(self, rng, h=48, w=96):
+        prev = rng.uniform(0, 255, (h, w)).astype(np.float32)
+        warped = rng.uniform(0, 255, (h, w)).astype(np.float32)
+        u = rng.uniform(-9.0, 9.0, (h, w)).astype(np.float32)
+        v = rng.uniform(-9.0, 9.0, (h, w)).astype(np.float32)
+        return (jnp.asarray(x) for x in (prev, warped, u, v))
+
+    def test_matches_manual_composition(self, rng):
+        from tpuflow.kernels import jnp_ref, pallas_lk
+
+        prev, warped, u, v = self._setup(rng)
+        with pltpu.force_tpu_interpret_mode():
+            u2, v2, sdu, sdv = pallas_lk.lucas_kanade_refine(
+                prev, warped, u, v, jnp.asarray(False)
+            )
+        ix, iy, it = jnp_ref.compute_gradients(prev, warped)
+        du, dv = jnp_ref.lucas_kanade_from_gradients(ix, iy, it)
+        uc = jnp.clip(u, -8.0, 8.0)
+        vc = jnp.clip(v, -8.0, 8.0)
+        np.testing.assert_allclose(np.asarray(u2), np.asarray(uc + du), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(v2), np.asarray(vc + dv), atol=1e-5)
+        np.testing.assert_allclose(
+            float(sdu), float(jnp.sum(jnp.abs(du))), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            float(sdv), float(jnp.sum(jnp.abs(dv))), rtol=1e-5
+        )
+
+    def test_converged_freezes_flow(self, rng):
+        from tpuflow.kernels import pallas_lk
+
+        prev, warped, u, v = self._setup(rng)
+        with pltpu.force_tpu_interpret_mode():
+            u2, v2, _, _ = pallas_lk.lucas_kanade_refine(
+                prev, warped, u, v, jnp.asarray(True)
+            )
+        np.testing.assert_allclose(
+            np.asarray(u2), np.asarray(jnp.clip(u, -8.0, 8.0)), atol=0
+        )
+        np.testing.assert_allclose(
+            np.asarray(v2), np.asarray(jnp.clip(v, -8.0, 8.0)), atol=0
+        )
+
+    def test_batched_and_vmap(self, rng):
+        from tpuflow.kernels import pallas_lk
+
+        h, w = 40, 80
+        prev = jnp.asarray(rng.uniform(0, 255, (2, h, w)), jnp.float32)
+        warped = jnp.asarray(rng.uniform(0, 255, (2, h, w)), jnp.float32)
+        u = jnp.zeros((2, h, w), jnp.float32)
+        v = jnp.zeros((2, h, w), jnp.float32)
+        conv = jnp.asarray([False, True])
+        with pltpu.force_tpu_interpret_mode():
+            ub, vb, sdu, sdv = pallas_lk.lucas_kanade_refine(
+                prev, warped, u, v, conv
+            )
+            u0, v0, s0, _ = pallas_lk.lucas_kanade_refine(
+                prev[0], warped[0], u[0], v[0], jnp.asarray(False)
+            )
+        assert sdu.shape == (2,)
+        np.testing.assert_allclose(np.asarray(ub[0]), np.asarray(u0), atol=1e-6)
+        np.testing.assert_allclose(float(sdu[0]), float(s0), rtol=1e-6)
+        # Element 1 is frozen: flow passes through (zeros stay zeros).
+        assert np.all(np.asarray(ub[1]) == 0)
+
+    def test_clamp_flow_warp_kwarg(self, rng):
+        from tpuflow.kernels import pallas_warp
+
+        h, w = 32, 64
+        img = jnp.asarray(rng.uniform(0, 255, (h, w)), jnp.float32)
+        u = jnp.full((h, w), 30.0)
+        v = jnp.zeros((h, w))
+        with pltpu.force_tpu_interpret_mode():
+            a = pallas_warp.warp_image_banded(img, u, v, clamp_flow=True)
+            b = pallas_warp.warp_image_banded(
+                img, jnp.clip(u, -8.0, 8.0), v
+            )
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -78,3 +78,47 @@ def test_full_suite_matches_reference_baseline(suite_dir):
     nm = next(r for r in results if r["pattern_name"] == "no_motion")
     assert nm["single_scale"]["metrics"]["epe"] == 0.0
     assert nm["pyramidal"]["metrics"]["epe"] == 0.0
+
+
+def test_yaml_config_overrides(tmp_path):
+    """--config mechanism (reference verification_config.yaml analog):
+    thresholds, test region, and named pyramid configs are overridable."""
+    import dataclasses
+
+    from tpuflow.core.config import PYRAMID_CONFIGS
+    from tpuflow.eval import verifier
+
+    saved = (
+        dict(verifier.THRESHOLDS),
+        dict(verifier.PATTERN_CATEGORIES),
+        verifier.CENTER_CROP,
+        verifier.BORDER,
+        dict(PYRAMID_CONFIGS),
+    )
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        "thresholds:\n  translation: [0.1, 0.2]\n"
+        "test_region:\n  center_crop: 40\n  border: 5\n"
+        "pyramid_configs:\n  tiny:\n    levels: 2\n    window_size: 3\n"
+        "regression:\n  threshold_percent: 25.0\n"
+    )
+    try:
+        parsed = verifier.apply_config(cfg)
+        assert verifier.THRESHOLDS["translation"] == (0.1, 0.2)
+        assert verifier.CENTER_CROP == 40 and verifier.BORDER == 5
+        assert PYRAMID_CONFIGS["tiny"].levels == 2
+        assert PYRAMID_CONFIGS["tiny"].window_size == 3
+        assert parsed["regression"]["threshold_percent"] == 25.0
+        # classify uses the overridden thresholds
+        assert verifier.classify_result(0.15, 0.0, "translate_small") == "Warning"
+        # the default shipped config restores reference values
+        verifier.apply_config(verifier.DEFAULT_CONFIG)
+        assert verifier.THRESHOLDS["translation"] == (0.5, 2.0)
+        assert verifier.CENTER_CROP == 80
+    finally:
+        (verifier.THRESHOLDS, verifier.PATTERN_CATEGORIES) = (
+            saved[0], saved[1],
+        )
+        verifier.CENTER_CROP, verifier.BORDER = saved[2], saved[3]
+        PYRAMID_CONFIGS.clear()
+        PYRAMID_CONFIGS.update(saved[4])

@@ -61,11 +61,41 @@ PATTERN_CATEGORIES: Dict[str, str] = {
 CENTER_CROP = 80  # reference: verification_config.yaml:107
 BORDER = 10       # reference: optical_flow_verifier.py:135
 
+DEFAULT_CONFIG = Path(__file__).parent / "verification_config.yaml"
+
+
+def apply_config(path) -> dict:
+    """Load a verifier YAML config and apply its overrides.
+
+    Mirrors the reference's config mechanism (verification_config.yaml
+    loaded at optical_flow_verifier.py:27-33): thresholds, pattern
+    categories, test-region geometry, and named pyramid configs. Returns
+    the parsed dict (for e.g. regression.threshold_percent).
+    """
+    import dataclasses
+
+    import yaml
+
+    global CENTER_CROP, BORDER
+    cfg = yaml.safe_load(Path(path).read_text()) or {}
+    for cat, (p, w) in (cfg.get("thresholds") or {}).items():
+        THRESHOLDS[cat] = (float(p), float(w))
+    PATTERN_CATEGORIES.update(cfg.get("pattern_categories") or {})
+    region = cfg.get("test_region") or {}
+    CENTER_CROP = int(region.get("center_crop", CENTER_CROP))
+    BORDER = int(region.get("border", BORDER))
+    for name, pc in (cfg.get("pyramid_configs") or {}).items():
+        base = PYRAMID_CONFIGS.get(name, PYRAMID_CONFIGS["default"])
+        PYRAMID_CONFIGS[name] = dataclasses.replace(base, **pc)
+    return cfg
+
 
 def get_test_region_mask(
-    shape: Tuple[int, int], pattern_name: str, center_crop: int = CENTER_CROP
+    shape: Tuple[int, int], pattern_name: str, center_crop: Optional[int] = None
 ) -> np.ndarray:
     """Mask of pixels to score (reference: optical_flow_verifier.py:96-138)."""
+    if center_crop is None:
+        center_crop = CENTER_CROP  # module global: --config can override
     height, width = shape
     mask = np.zeros((height, width), dtype=bool)
     varies = (
@@ -352,12 +382,20 @@ def main() -> None:
     parser.add_argument("--suite-dir", type=str, default=None)
     parser.add_argument("--pattern", type=str, nargs="+", default=None)
     parser.add_argument(
-        "--pyramid-config", type=str, default="default", choices=sorted(PYRAMID_CONFIGS)
+        "--pyramid-config", type=str, default="default",
+        help=f"named pyramid config (built-in: {', '.join(sorted(PYRAMID_CONFIGS))}; "
+        "--config can add more)",
     )
     parser.add_argument("--backend", type=str, default="jnp", choices=["jnp", "pallas"])
+    parser.add_argument(
+        "--config", type=str, default=None, metavar="YAML",
+        help="verifier config overriding thresholds/categories/test "
+        "region/pyramid configs (reference verification_config.yaml "
+        f"analog; defaults shipped at {DEFAULT_CONFIG.name})",
+    )
     parser.add_argument("--compare-baseline", action="store_true")
     parser.add_argument("--update-baseline", action="store_true")
-    parser.add_argument("--regression-threshold", type=float, default=10.0)
+    parser.add_argument("--regression-threshold", type=float, default=None)
     parser.add_argument(
         "--baseline",
         type=str,
@@ -367,6 +405,17 @@ def main() -> None:
     parser.add_argument("--output-dir", type=str, default="results")
     parser.add_argument("--no-visualizations", action="store_true")
     args = parser.parse_args()
+
+    file_cfg = apply_config(args.config) if args.config else {}
+    if args.regression_threshold is None:
+        args.regression_threshold = float(
+            (file_cfg.get("regression") or {}).get("threshold_percent", 10.0)
+        )
+    if args.pyramid_config not in PYRAMID_CONFIGS:
+        raise SystemExit(
+            f"Unknown pyramid config '{args.pyramid_config}'. "
+            f"Available: {', '.join(sorted(PYRAMID_CONFIGS))}"
+        )
 
     results = run_suite(
         suite_dir=Path(args.suite_dir) if args.suite_dir else None,

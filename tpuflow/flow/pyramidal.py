@@ -39,22 +39,42 @@ def _refine_level(
         _, _, i, converged = state
         return jnp.logical_and(i < cfg.iterations, jnp.logical_not(converged))
 
+    n_px = img_prev.shape[0] * img_prev.shape[1]
+
     def body(state):
         u, v, i, converged = state
-        if backend == "pallas" or rtl_clamp:
-            # RTL-style saturation (flow_solver.sv:134-144 analog) keeps
-            # the vertical displacement inside the warp kernel's band; a
-            # no-op for in-band motion.
-            u = jnp.clip(u, -cfg.max_disp, cfg.max_disp)
-            v = jnp.clip(v, -cfg.max_disp, cfg.max_disp)
         if backend == "pallas":
-            from tpuflow.kernels import pallas_warp
+            # Fully fused iteration: the warp kernel clips the carried
+            # flow to the band in-kernel (RTL saturation analog,
+            # flow_solver.sv:134-144), and the refine kernel folds the
+            # clip + convergence-latched accumulate + |du| partial sums
+            # into the LK pass — zero XLA plane passes per iteration.
+            from tpuflow.kernels import pallas_lk, pallas_warp
 
             warped = pallas_warp.warp_image_banded(
-                img_curr, u, v, max_disp=cfg.max_disp
+                img_curr, u, v, max_disp=cfg.max_disp, clamp_flow=True
             )
-        else:
-            warped = jnp_ref.warp_image(img_curr, u, v)
+            u, v, sdu, sdv = pallas_lk.lucas_kanade_refine(
+                img_prev,
+                warped,
+                u,
+                v,
+                converged,
+                window_size=cfg.window_size,
+                det_threshold=cfg.det_threshold,
+                max_disp=float(cfg.max_disp),
+            )
+            now_converged = jnp.logical_and(
+                sdu / n_px < cfg.convergence_threshold,
+                sdv / n_px < cfg.convergence_threshold,
+            )
+            converged = jnp.logical_or(converged, now_converged)
+            return u, v, i + 1, converged
+        if rtl_clamp:
+            # RTL-style saturation (flow_solver.sv:134-144 analog).
+            u = jnp.clip(u, -cfg.max_disp, cfg.max_disp)
+            v = jnp.clip(v, -cfg.max_disp, cfg.max_disp)
+        warped = jnp_ref.warp_image(img_curr, u, v)
         du, dv = lucas_kanade_single_scale(
             img_prev,
             warped,

@@ -51,10 +51,10 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _lk_kernel(prev_hbm, curr_hbm, u_ref, v_ref, bufs, sems,
-               *, n_tiles: int, tile_rows: int, height: int, width: int,
-               window: int, det_threshold: float):
-    # Double-buffered slab pipeline over the flattened (batch, tile) grid.
+def _dma_slabs(prev_hbm, curr_hbm, bufs, sems, *, n_tiles, tile_rows):
+    """Double-buffered slab pipeline over the flattened (batch, tile)
+    grid: prefetch the next step's slabs while computing this one's.
+    Returns the (prev, curr) slabs for the current step."""
     s = pl.program_id(0)
     n = pl.num_programs(0)
     slab_h = tile_rows + 2 * APRON
@@ -88,8 +88,13 @@ def _lk_kernel(prev_hbm, curr_hbm, u_ref, v_ref, bufs, sems,
     for cp in copies(s, slot):
         cp.wait()
 
-    p = bufs[0, slot]
-    c = bufs[1, slot]
+    return bufs[0, slot], bufs[1, slot]
+
+
+def _lk_tile(p, c, *, n_tiles: int, tile_rows: int, height: int,
+             width: int, window: int, det_threshold: float):
+    """Core LK math on one (slab_h, wp) slab pair: gradients ->
+    structure tensor -> Cramer solve -> interior-masked (u, v) tile."""
     avg = (p + c) * 0.5
 
     # Sobel on the averaged frame (true convolution == correlation with the
@@ -148,7 +153,7 @@ def _lk_kernel(prev_hbm, curr_hbm, u_ref, v_ref, bufs, sems,
 
     # Zero the half-window border (reference: flow only for fully-interior
     # windows, python/lucas_kanade_core.py:104-107) and any grid overhang.
-    r0 = (s % n_tiles) * tile_rows
+    r0 = (pl.program_id(0) % n_tiles) * tile_rows
     rows = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, width), 0) + r0
     cols = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, width), 1)
     interior = (
@@ -157,8 +162,54 @@ def _lk_kernel(prev_hbm, curr_hbm, u_ref, v_ref, bufs, sems,
         & (cols >= half)
         & (cols < width - half)
     )
-    u_ref[0] = jnp.where(interior, u, 0.0)
-    v_ref[0] = jnp.where(interior, v, 0.0)
+    return jnp.where(interior, u, 0.0), jnp.where(interior, v, 0.0)
+
+
+def _lk_kernel(prev_hbm, curr_hbm, u_ref, v_ref, bufs, sems,
+               *, n_tiles: int, tile_rows: int, height: int, width: int,
+               window: int, det_threshold: float):
+    p, c = _dma_slabs(
+        prev_hbm, curr_hbm, bufs, sems, n_tiles=n_tiles, tile_rows=tile_rows
+    )
+    u, v = _lk_tile(
+        p, c, n_tiles=n_tiles, tile_rows=tile_rows, height=height,
+        width=width, window=window, det_threshold=det_threshold,
+    )
+    u_ref[0] = u
+    v_ref[0] = v
+
+
+def _lk_refine_kernel(prev_hbm, curr_hbm, u_in, v_in, conv_ref,
+                      u_out, v_out, sdu_ref, sdv_ref, bufs, sems,
+                      *, n_tiles: int, tile_rows: int, height: int,
+                      width: int, window: int, det_threshold: float,
+                      max_disp: float):
+    """One fused refinement accumulate: residual LK on (prev, warped) +
+    the coarse-to-fine bookkeeping the XLA driver otherwise pays three
+    plane passes for — per-level flow clamp, convergence-latched
+    accumulate, and the |du|,|dv| partial sums for the early-exit test
+    (reference python/lucas_kanade_pyramidal.py:201-223)."""
+    p, c = _dma_slabs(
+        prev_hbm, curr_hbm, bufs, sems, n_tiles=n_tiles, tile_rows=tile_rows
+    )
+    du, dv = _lk_tile(
+        p, c, n_tiles=n_tiles, tile_rows=tile_rows, height=height,
+        width=width, window=window, det_threshold=det_threshold,
+    )
+    # RTL-style per-level saturation of the carried flow (the solver's
+    # S8.7 clamp analog, flow_solver.sv:134-144), matching the driver's
+    # pre-warp clip; the warp kernel applies the same clip internally.
+    u_c = jnp.clip(u_in[0], -max_disp, max_disp)
+    v_c = jnp.clip(v_in[0], -max_disp, max_disp)
+    # Converged frames stop accumulating (the reference's break; under
+    # vmap the while_loop keeps running until every frame converges).
+    frozen = conv_ref[0, 0] > 0
+    u_out[0] = jnp.where(frozen, u_c, u_c + du)
+    v_out[0] = jnp.where(frozen, v_c, v_c + dv)
+    # Per-tile partial sums, broadcast over one min-tile (8, 128) block —
+    # Mosaic requires output blocks of at least a full register tile.
+    sdu_ref[0] = jnp.full((8, 128), jnp.sum(jnp.abs(du)), du.dtype)
+    sdv_ref[0] = jnp.full((8, 128), jnp.sum(jnp.abs(dv)), dv.dtype)
 
 
 @functools.partial(
@@ -239,6 +290,165 @@ def _fused_batched(
         u = u[:, :h]
         v = v[:, :h]
     return u, v
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("window_size", "det_threshold", "max_disp", "tile_rows"),
+)
+def _refine_batched(
+    frame_prev: jax.Array,
+    warped: jax.Array,
+    flow_u: jax.Array,
+    flow_v: jax.Array,
+    converged: jax.Array,
+    window_size: int,
+    det_threshold: float,
+    max_disp: float,
+    tile_rows: int | None,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """(B, H, W) batched fused refine accumulate.
+
+    Returns (u_next, v_next, sum|du|, sum|dv|) with the sums per batch
+    element. ``converged`` is (B,) bool/int — elements already converged
+    pass their (clipped) flow through unchanged.
+    """
+    bsz, h, w = frame_prev.shape
+    if tile_rows is None:
+        budget_rows = (12 * 1024 * 1024) // (30 * 4 * max(w, 128))
+        tile_rows = min(128, max(8, (budget_rows // 8) * 8))
+    th = min(tile_rows, _round_up(h, 8))
+    hp = _round_up(h, th)
+    wp = _round_up(w + 2 * APRON, 128)
+
+    def pad(f):
+        f = jnp.pad(f, ((0, 0), (1, 1), (1, 1)), mode="symmetric")
+        return jnp.pad(f, ((0, 0), (3, 3 + hp - h), (3, wp - w - 5)))
+
+    prev_p = pad(frame_prev)
+    curr_p = pad(warped)
+    u_p = jnp.pad(flow_u, ((0, 0), (0, hp - h), (0, 0)))
+    v_p = jnp.pad(flow_v, ((0, 0), (0, hp - h), (0, 0)))
+    conv = converged.astype(jnp.int32).reshape(bsz, 1)
+
+    n_tiles = hp // th
+    kernel = functools.partial(
+        _lk_refine_kernel,
+        n_tiles=n_tiles,
+        tile_rows=th,
+        height=h,
+        width=w,
+        window=window_size,
+        det_threshold=det_threshold,
+        max_disp=max_disp,
+    )
+    flow_spec = pl.BlockSpec(
+        (1, th, w), lambda s: (s // n_tiles, s % n_tiles, 0),
+        memory_space=pltpu.VMEM,
+    )
+    sum_spec = pl.BlockSpec(
+        (1, 8, 128), lambda s: (s, 0, 0), memory_space=pltpu.VMEM
+    )
+    u2, v2, sdu, sdv = pl.pallas_call(
+        kernel,
+        grid=(bsz * n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            flow_spec,
+            flow_spec,
+            pl.BlockSpec(
+                (1, 1), lambda s: (s // n_tiles, 0),
+                memory_space=pltpu.SMEM,
+            ),
+        ],
+        out_specs=(flow_spec, flow_spec, sum_spec, sum_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz, hp, w), frame_prev.dtype),
+            jax.ShapeDtypeStruct((bsz, hp, w), frame_prev.dtype),
+            jax.ShapeDtypeStruct((bsz * n_tiles, 8, 128), frame_prev.dtype),
+            jax.ShapeDtypeStruct((bsz * n_tiles, 8, 128), frame_prev.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, th + 2 * APRON, wp), frame_prev.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(200 * bsz * h * w),
+            bytes_accessed=int(32 * bsz * h * w),
+            transcendentals=0,
+        ),
+    )(prev_p, curr_p, u_p, v_p, conv)
+    if hp != h:
+        u2 = u2[:, :h]
+        v2 = v2[:, :h]
+    sums_du = sdu[:, 0, 0].reshape(bsz, n_tiles).sum(axis=1)
+    sums_dv = sdv[:, 0, 0].reshape(bsz, n_tiles).sum(axis=1)
+    return u2, v2, sums_du, sums_dv
+
+
+@functools.lru_cache(maxsize=None)
+def _make_refine(
+    window_size: int, det_threshold: float, max_disp: float,
+    tile_rows: int | None,
+):
+    """custom_vmap wrapper for one static refine configuration."""
+
+    @jax.custom_batching.custom_vmap
+    def refine(prev, warped, u, v, conv):
+        u2, v2, sdu, sdv = _refine_batched(
+            prev[None], warped[None], u[None], v[None], conv[None],
+            window_size, det_threshold, max_disp, tile_rows,
+        )
+        return u2[0], v2[0], sdu[0], sdv[0]
+
+    @refine.def_vmap
+    def _vmap_rule(axis_size, in_batched, prev, warped, u, v, conv):  # noqa: ANN001
+        args = []
+        for a, batched in zip((prev, warped, u, v, conv), in_batched):
+            if not batched:
+                a = jnp.broadcast_to(a, (axis_size,) + a.shape)
+            args.append(a)
+        out = _refine_batched(
+            *args, window_size, det_threshold, max_disp, tile_rows
+        )
+        return out, (True, True, True, True)
+
+    return refine
+
+
+def lucas_kanade_refine(
+    frame_prev: jax.Array,
+    warped: jax.Array,
+    flow_u: jax.Array,
+    flow_v: jax.Array,
+    converged: jax.Array,
+    window_size: int = 5,
+    det_threshold: float = 1e-4,
+    max_disp: float = 8.0,
+    tile_rows: int | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Fused coarse-to-fine refinement step.
+
+    Computes residual LK flow between ``frame_prev`` and the pre-warped
+    current frame, clips the carried flow to ``+-max_disp`` and
+    accumulates the residual in-kernel, returning
+    ``(u_next, v_next, sum|du|, sum|dv|)`` — the whole body of one
+    reference refinement iteration (python/lucas_kanade_pyramidal.py:
+    201-223) minus the warp, in one pass over HBM. Accepts (H, W) or
+    (B, H, W) plus matching scalar/(B,) ``converged``; composes with
+    ``jax.vmap``.
+    """
+    if window_size // 2 + 1 > APRON:
+        raise ValueError("pallas kernel supports window_size <= 7; use backend='jnp'")
+    if frame_prev.ndim == 3:
+        return _refine_batched(
+            frame_prev, warped, flow_u, flow_v, converged,
+            window_size, det_threshold, max_disp, tile_rows,
+        )
+    return _make_refine(window_size, det_threshold, max_disp, tile_rows)(
+        frame_prev, warped, flow_u, flow_v, converged
+    )
 
 
 @functools.lru_cache(maxsize=None)

@@ -49,7 +49,7 @@ def _round_up(x: int, m: int) -> int:
 
 def _warp_kernel(img_hbm, u_ref, v_ref, out_ref, band_sl, sem,
                  *, n_tiles: int, tile_rows: int, height: int, width: int,
-                 wp: int, dpad: int, max_disp: int):
+                 wp: int, dpad: int, max_disp: int, clamp_flow: bool):
     th = tile_rows
     nb = wp // 128
     s = pl.program_id(0)
@@ -66,6 +66,11 @@ def _warp_kernel(img_hbm, u_ref, v_ref, out_ref, band_sl, sem,
 
     u = u_ref[0]
     v = v_ref[0]
+    if clamp_flow:
+        # Per-level RTL-style saturation applied in-kernel (the fused
+        # refine driver passes raw carried flow; flow_solver.sv:134-144).
+        u = jnp.clip(u, -float(max_disp), float(max_disp))
+        v = jnp.clip(v, -float(max_disp), float(max_disp))
     # Mosaic iota is integer-only; cast to f32 after generation.
     xx_i = jax.lax.broadcasted_iota(jnp.int32, (th, wp), 1)
     yy_i = jax.lax.broadcasted_iota(jnp.int32, (th, wp), 0) + r0
@@ -168,13 +173,16 @@ def _warp_kernel(img_hbm, u_ref, v_ref, out_ref, band_sl, sem,
     out_ref[0] = jax.lax.slice(out, (0, 0), (th, width))
 
 
-@functools.partial(jax.jit, static_argnames=("max_disp", "tile_rows"))
+@functools.partial(
+    jax.jit, static_argnames=("max_disp", "tile_rows", "clamp_flow")
+)
 def _warp_batched(
     image: jax.Array,
     flow_u: jax.Array,
     flow_v: jax.Array,
     max_disp: int,
     tile_rows: int | None,
+    clamp_flow: bool = False,
 ) -> jax.Array:
     """(B, H, W) batched banded warp."""
     bsz, h, w = image.shape
@@ -205,6 +213,7 @@ def _warp_batched(
         wp=wp,
         dpad=dpad,
         max_disp=max_disp,
+        clamp_flow=clamp_flow,
     )
     flow_spec = pl.BlockSpec(
         (1, th, wp), lambda s: (s // n_tiles, s % n_tiles, 0),
@@ -240,11 +249,12 @@ def _warp_batched(
 
 
 @functools.lru_cache(maxsize=None)
-def _make_warp(max_disp: int, tile_rows: int | None):
+def _make_warp(max_disp: int, tile_rows: int | None, clamp_flow: bool):
     @jax.custom_batching.custom_vmap
     def warp(image, flow_u, flow_v):
         return _warp_batched(
-            image[None], flow_u[None], flow_v[None], max_disp, tile_rows
+            image[None], flow_u[None], flow_v[None], max_disp, tile_rows,
+            clamp_flow,
         )[0]
 
     @warp.def_vmap
@@ -254,7 +264,7 @@ def _make_warp(max_disp: int, tile_rows: int | None):
             if not batched:
                 a = jnp.broadcast_to(a, (axis_size,) + a.shape)
             args.append(a)
-        return _warp_batched(*args, max_disp, tile_rows), True
+        return _warp_batched(*args, max_disp, tile_rows, clamp_flow), True
 
     return warp
 
@@ -265,6 +275,7 @@ def warp_image_banded(
     flow_v: jax.Array,
     max_disp: int = 8,
     tile_rows: int | None = None,
+    clamp_flow: bool = False,
 ) -> jax.Array:
     """Backward bilinear warp, out(x,y) = image(x+u, y+v), OOB -> 0.
 
@@ -276,5 +287,9 @@ def warp_image_banded(
     """
     assert max_disp <= 31, "banded warp supports max_disp <= 31"
     if image.ndim == 3:
-        return _warp_batched(image, flow_u, flow_v, max_disp, tile_rows)
-    return _make_warp(max_disp, tile_rows)(image, flow_u, flow_v)
+        return _warp_batched(
+            image, flow_u, flow_v, max_disp, tile_rows, clamp_flow
+        )
+    return _make_warp(max_disp, tile_rows, clamp_flow)(
+        image, flow_u, flow_v
+    )
