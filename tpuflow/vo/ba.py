@@ -29,6 +29,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tpuflow.vo import se3
 
@@ -203,6 +204,16 @@ def gauss_newton_step(
     )
 
 
+def _robust_cost(p: BAProblem, huber_delta: float) -> float:
+    """Huber-robustified total reprojection cost over valid obs."""
+    e = reprojection_errors(p)
+    valid = p.obs_valid
+    quad = 0.5 * e * e
+    lin = huber_delta * (e - 0.5 * huber_delta)
+    c = jnp.where(e <= huber_delta, quad, lin)
+    return float(jnp.where(valid, c, 0.0).sum())
+
+
 def solve(
     p: BAProblem,
     iterations: int = 10,
@@ -210,15 +221,42 @@ def solve(
     huber_delta: float = 4.0,
     axis_name: str | None = None,
     fixed_cams: tuple[int, ...] = (0,),
+    adaptive: bool = True,
 ) -> BAProblem:
-    """Run ``iterations`` Gauss-Newton steps (static loop — each step is
-    one XLA program; chain under jit for production)."""
+    """Run ``iterations`` damped Gauss-Newton steps.
+
+    With ``adaptive`` (Levenberg-Marquardt schedule, host-driven): a step
+    that increases the robust cost is rejected and retried with 10x
+    damping; accepted steps decay damping 3x. This keeps large-baseline
+    initializations (first GN steps far outside the quadratic basin)
+    from diverging. Set ``adaptive=False`` for the fixed-damping static
+    loop (one XLA program when chained under jit, e.g. inside shard_map).
+    """
+    if not adaptive:
+        for _ in range(iterations):
+            p = gauss_newton_step(
+                p,
+                damping=damping,
+                huber_delta=huber_delta,
+                axis_name=axis_name,
+                fixed_cams=fixed_cams,
+            )
+        return p
+
+    lam = damping
+    cost = _robust_cost(p, huber_delta)
     for _ in range(iterations):
-        p = gauss_newton_step(
+        trial = gauss_newton_step(
             p,
-            damping=damping,
+            damping=lam,
             huber_delta=huber_delta,
             axis_name=axis_name,
             fixed_cams=fixed_cams,
         )
+        trial_cost = _robust_cost(trial, huber_delta)
+        if trial_cost <= cost or not np.isfinite(cost):
+            p, cost = trial, trial_cost
+            lam = max(lam / 3.0, 1e-8)
+        else:
+            lam = min(lam * 10.0, 1e4)
     return p

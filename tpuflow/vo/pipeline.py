@@ -67,9 +67,17 @@ class OdometrySession:
         self.frame_index = -1
         self.keyframes: list[int] = []
         self.obs_uv: list[np.ndarray] = []      # per keyframe: (N, 2)
+        self.obs_lm: list[np.ndarray] = []      # per keyframe: (N,) int32
         self.obs_valid: list[np.ndarray] = []   # per keyframe: (N,) bool
         self._tracks = None                     # tracking.Tracks
         self._prev_frame: np.ndarray | None = None
+        # Track lifecycle: each slot carries a landmark id; dead slots
+        # are reseeded at keyframes with NEW landmark ids, so long
+        # sequences keep a live observation stream instead of bleeding
+        # out the initial seeding.
+        self.track_lm: np.ndarray | None = None  # (N,) int32
+        self.lm_first_uv: np.ndarray | None = None  # (n_landmarks, 2)
+        self.n_landmarks = 0
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -84,6 +92,10 @@ class OdometrySession:
         self._prev_frame = np.asarray(frame)
         self.frame_index = 0
         self.keyframes = [0]
+        n = int(self._tracks.xy.shape[0])
+        self.track_lm = np.arange(n, dtype=np.int32)
+        self.lm_first_uv = np.asarray(self._tracks.xy, np.float32).copy()
+        self.n_landmarks = n
         self._record()
 
     def process_frame(self, frame: np.ndarray) -> None:
@@ -102,11 +114,55 @@ class OdometrySession:
         self.frame_index += 1
         if self.frame_index % self.keyframe_stride == 0:
             self.keyframes.append(self.frame_index)
+            self._reseed(cur)
             self._record()
 
     def _record(self) -> None:
         self.obs_uv.append(np.asarray(self._tracks.xy, np.float32))
+        self.obs_lm.append(self.track_lm.copy())
         self.obs_valid.append(np.asarray(self._tracks.alive))
+
+    def _reseed(self, frame) -> None:
+        """Refill dead track slots with fresh corners and new landmark
+        ids (their first observation is the current keyframe, so the
+        landmark back-projects from it at ``init_depth`` like every
+        other landmark)."""
+        from tpuflow.vo import tracking
+
+        alive = np.asarray(self._tracks.alive)
+        dead = ~alive
+        if not dead.any():
+            return
+        fresh = tracking.seed_grid(frame, grid_step=self.grid_step)
+        good = np.asarray(fresh.alive) & dead
+        n_new = int(good.sum())
+        if n_new == 0:
+            return
+        import jax.numpy as jnp
+
+        ids = self.track_lm.copy()
+        ids[good] = np.arange(
+            self.n_landmarks, self.n_landmarks + n_new, dtype=np.int32
+        )
+        self.track_lm = ids
+        self.n_landmarks += n_new
+
+        fresh_xy = np.asarray(fresh.xy, np.float32)
+        xy = np.asarray(self._tracks.xy, np.float32).copy()
+        start = np.asarray(self._tracks.start_xy, np.float32).copy()
+        age = np.asarray(self._tracks.age, np.int32).copy()
+        xy[good] = fresh_xy[good]
+        start[good] = fresh_xy[good]
+        age[good] = 0
+        self._tracks = tracking.Tracks(
+            xy=jnp.asarray(xy),
+            start_xy=jnp.asarray(start),
+            age=jnp.asarray(age),
+            alive=jnp.asarray(alive | good),
+        )
+        self.lm_first_uv = np.concatenate(
+            [self.lm_first_uv, fresh_xy[good]], axis=0
+        )
 
     # -- solve -------------------------------------------------------------
 
@@ -123,19 +179,20 @@ class OdometrySession:
         cam = np.concatenate(
             [np.full(n_tracks, i, np.int32) for i in range(k)]
         )
-        lm_idx = np.concatenate(
-            [np.arange(n_tracks, dtype=np.int32)] * k
-        )
+        lm_idx = np.concatenate(self.obs_lm)
         valid = np.concatenate(self.obs_valid)
 
-        # Landmarks: back-project each track's first observation at the
-        # initialization depth (monocular scale convention).
-        first = self.obs_uv[0]
+        # Landmarks: back-project each landmark's first observation at
+        # the initialization depth (monocular scale convention; all
+        # keyframe poses initialize at identity, so the convention is
+        # consistent for landmarks spawned at later keyframes too).
+        first = self.lm_first_uv
+        n_lm = self.n_landmarks
         landmarks = np.stack(
             [
                 (first[:, 0] - cx) / fx * self.init_depth,
                 (first[:, 1] - cy) / fy * self.init_depth,
-                np.full(n_tracks, self.init_depth, np.float32),
+                np.full(n_lm, self.init_depth, np.float32),
             ],
             axis=1,
         ).astype(np.float32)
@@ -175,12 +232,16 @@ class OdometrySession:
             "frame_index": np.int64(self.frame_index),
             "keyframes": np.asarray(self.keyframes, np.int64),
             "obs_uv": np.stack(self.obs_uv),          # (K, N, 2)
+            "obs_lm": np.stack(self.obs_lm),          # (K, N)
             "obs_valid": np.stack(self.obs_valid),    # (K, N)
             "prev_frame": np.asarray(self._prev_frame, np.float32),
             "tracks_xy": np.asarray(t.xy, np.float32),
             "tracks_start_xy": np.asarray(t.start_xy, np.float32),
             "tracks_age": np.asarray(t.age, np.int32),
             "tracks_alive": np.asarray(t.alive, bool),
+            "track_lm": np.asarray(self.track_lm, np.int32),
+            "lm_first_uv": np.asarray(self.lm_first_uv, np.float32),
+            "n_landmarks": np.int64(self.n_landmarks),
         }
 
     def meta_dict(self) -> dict:
@@ -211,9 +272,15 @@ class OdometrySession:
         sess.obs_uv = [
             np.asarray(x, np.float32) for x in np.asarray(state["obs_uv"])
         ]
+        sess.obs_lm = [
+            np.asarray(x, np.int32) for x in np.asarray(state["obs_lm"])
+        ]
         sess.obs_valid = [
             np.asarray(x, bool) for x in np.asarray(state["obs_valid"])
         ]
+        sess.track_lm = np.asarray(state["track_lm"], np.int32)
+        sess.lm_first_uv = np.asarray(state["lm_first_uv"], np.float32)
+        sess.n_landmarks = int(state["n_landmarks"])
         sess._prev_frame = np.asarray(state["prev_frame"], np.float32)
         sess._tracks = tracking.Tracks(
             xy=jnp.asarray(state["tracks_xy"], jnp.float32),
