@@ -61,3 +61,33 @@ def test_cli_missing_frames(tmp_path, capsys):
     with pytest.raises(SystemExit) as e:
         run_cli([str(tmp_path)], capsys)
     assert e.value.code == 1
+
+
+def test_cli_sequence_streaming(tmp_path, capsys):
+    """--sequence streams a frame series through one jitted program via
+    FrameStream and reports throughput."""
+    from scipy.ndimage import shift as nd_shift
+
+    from tpuflow.eval import patterns
+    from tpuflow.io import frames as fio
+
+    base = patterns.load_base_texture(160, 120).astype(np.float32)
+    for i in range(4):
+        f = nd_shift(base, (0.0, 2.0 * i), order=1, mode="nearest")
+        fio.save_frame_bin(tmp_path / f"frame_{i:02d}.bin", f)
+
+    out = run_cli(
+        [str(tmp_path), "--sequence", "--width", "160", "--height", "120"],
+        capsys,
+    )
+    assert "pairs: 3" in out
+    assert "throughput:" in out
+    # 2 px/frame shift: mean magnitude across the frame is positive and
+    # bounded by the true motion.
+    mag = float(out.split("mean flow magnitude:")[1].split("px")[0])
+    assert 0.3 < mag < 3.0
+
+
+def test_cli_sequence_too_few_frames(tmp_path, capsys):
+    with pytest.raises(SystemExit):
+        run_cli([str(tmp_path), "--sequence"], capsys)

@@ -39,6 +39,66 @@ def region_stats(u: np.ndarray, v: np.ndarray, region) -> dict:
     }
 
 
+def _run_sequence(d, args) -> None:
+    """Stream a frame sequence through the flow engine (serving path):
+    prefetching FrameStream -> jitted pyramidal/single-scale flow, one
+    program reused across all pairs."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpuflow.core.config import PYRAMID_CONFIGS
+    from tpuflow.flow import (
+        lucas_kanade_pyramidal,
+        lucas_kanade_single_scale,
+    )
+    from tpuflow.io.stream import FrameStream
+
+    paths = sorted(d.glob(args.glob))
+    if len(paths) < 2:
+        print(f"error: need >=2 frames matching {args.glob} in {d}",
+              file=sys.stderr)
+        sys.exit(1)
+
+    if args.pyramidal:
+        cfg = PYRAMID_CONFIGS[args.pyramid_config]
+        fn = jax.jit(lambda p, c: lucas_kanade_pyramidal(
+            p, c, config=cfg, backend=args.backend))
+        mode = f"pyramidal[{args.pyramid_config}]"
+    else:
+        fn = jax.jit(lambda p, c: lucas_kanade_single_scale(
+            p, c, args.window_size, backend=args.backend))
+        mode = "single-scale"
+
+    stream = FrameStream(paths, width=args.width, height=args.height)
+    n = 0
+    mags = []  # device scalars — no per-pair host sync, dispatches pipeline
+    t0 = None
+    for prev, curr in stream.pairs():
+        u, v = fn(jnp.asarray(prev), jnp.asarray(curr))
+        if t0 is None:  # exclude the first pair's compile
+            u.block_until_ready()
+            t0 = time.perf_counter()
+        mags.append(jnp.sqrt(u * u + v * v).mean())
+        n += 1
+        if args.export:
+            from tpuflow.io import frames as fio
+
+            fio.save_flow_text(
+                f"{args.export}.{n:04d}", np.asarray(u), np.asarray(v),
+                header=f"pair {n} {paths[n - 1].name}->{paths[n].name}",
+            )
+    mean_mag = float(jnp.stack(mags).sum()) / n  # single end-of-stream sync
+    dt = time.perf_counter() - t0
+    done = max(n - 1, 1)  # pairs timed after the compile pair
+    print(f"mode: {mode}  backend: {args.backend}  "
+          f"frames: {len(paths)}  pairs: {n}")
+    print(f"throughput: {done / dt:.1f} pairs/s "
+          f"({dt / done * 1e3:.2f} ms/pair, first pair excluded)")
+    print(f"mean flow magnitude: {mean_mag:.3f} px")
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(
         prog="python -m tpuflow.flow",
@@ -51,6 +111,12 @@ def main() -> None:
     )
     parser.add_argument("--mem", action="store_true",
                         help="load $readmemh .mem frames instead of .bin")
+    parser.add_argument("--sequence", action="store_true",
+                        help="stream ALL .bin frames in frame_dir (sorted) "
+                        "through the flow engine via the prefetching "
+                        "FrameStream and report throughput")
+    parser.add_argument("--glob", type=str, default="frame_*.bin",
+                        help="frame filename pattern for --sequence")
     parser.add_argument("--width", type=int, default=320)
     parser.add_argument("--height", type=int, default=240)
     parser.add_argument("--pyramidal", action="store_true",
@@ -78,6 +144,9 @@ def main() -> None:
     from tpuflow.io import frames as fio
 
     d = Path(args.frame_dir)
+    if args.sequence:
+        _run_sequence(d, args)
+        return
     ext = "mem" if args.mem else "bin"
     f0p, f1p = d / f"frame_00.{ext}", d / f"frame_01.{ext}"
     for p in (f0p, f1p):
