@@ -437,3 +437,67 @@ def test_track_reseeding_long_sequence():
     result = sess.solve(ba_iterations=12)
     assert result.mean_reprojection_error < 2.0
     assert result.landmarks.shape == (sess.n_landmarks, 3)
+
+
+def test_forward_backward_check_kills_occluded():
+    """Tracks in a region with no correspondence (noise replaces content)
+    fail the forward-backward round trip and are culled."""
+    import jax.numpy as jnp
+
+    from tpuflow.eval import patterns
+    from tpuflow.flow import lucas_kanade_pyramidal
+    from tpuflow.vo import tracking
+
+    rng_ = np.random.default_rng(3)
+    base = patterns.load_base_texture(160, 120).astype(np.float32)
+    prev = base.copy()
+    curr = base.copy()
+    curr[:, 80:] = rng_.uniform(0, 255, (120, 80)).astype(np.float32)
+
+    p, c = jnp.asarray(prev), jnp.asarray(curr)
+    tracks = tracking.seed_grid(p, grid_step=16)
+    prev_xy = tracks.xy
+    u, v = lucas_kanade_pyramidal(p, c)
+    adv = tracking.advance(tracks, u, v)
+    ub, vb = lucas_kanade_pyramidal(c, p)
+    checked = tracking.forward_backward_check(adv, prev_xy, ub, vb, threshold=1.0)
+
+    xs = np.asarray(prev_xy[:, 0])
+    left = xs < 70
+    right = xs > 90
+    alive_before = np.asarray(adv.alive)
+    alive_after = np.asarray(checked.alive)
+    # The check only removes tracks, never adds.
+    assert not np.any(alive_after & ~alive_before)
+    # Left half (real correspondence) mostly survives; the noise half
+    # loses a clearly larger fraction.
+    surv_left = alive_after[left].mean()
+    surv_right = alive_after[right].sum() / max(alive_before[right].sum(), 1)
+    assert surv_left > 0.6
+    assert surv_right < surv_left
+
+
+def test_windowed_ba_fixes_old_keyframes():
+    """solve(window=N) keeps poses of keyframes outside the window at
+    their initialization (identity) and still refines the window."""
+    from scipy.ndimage import shift as nd_shift
+
+    from tpuflow.eval import patterns
+    from tpuflow.vo.pipeline import OdometrySession
+
+    base = patterns.load_base_texture(160, 120).astype(np.float32)
+    frames = [
+        nd_shift(base, (0.0, -1.2 * i), order=1, mode="nearest")
+        for i in range(6)
+    ]
+    sess = OdometrySession((150.0, 150.0, 80.0, 60.0))
+    for f in frames:
+        sess.process_frame(f)
+    res = sess.solve(ba_iterations=6, window=3)
+    k = len(res.keyframe_indices)
+    # Cameras outside the window stayed at identity/zero.
+    for c in range(k - 3):
+        np.testing.assert_allclose(res.poses_r[c], np.eye(3), atol=1e-6)
+        np.testing.assert_allclose(res.poses_t[c], 0.0, atol=1e-6)
+    # The window cameras moved.
+    assert np.abs(res.poses_t[k - 1]).max() > 1e-3

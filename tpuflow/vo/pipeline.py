@@ -48,6 +48,7 @@ class OdometrySession:
         grid_step: int = 16,
         init_depth: float = 5.0,
         backend: str = "jnp",
+        fb_check_threshold: float | None = None,
     ) -> None:
         import jax
 
@@ -58,6 +59,10 @@ class OdometrySession:
         self.grid_step = int(grid_step)
         self.init_depth = float(init_depth)
         self.backend = backend
+        # Optional forward-backward flow consistency culling (px).
+        self.fb_check_threshold = (
+            None if fb_check_threshold is None else float(fb_check_threshold)
+        )
 
         self._flow_fn = jax.jit(
             lambda p, c: lucas_kanade_pyramidal(p, c, backend=backend)
@@ -108,8 +113,16 @@ class OdometrySession:
             self.start(frame)
             return
         cur = jnp.asarray(frame, jnp.float32)
-        u, v = self._flow_fn(jnp.asarray(self._prev_frame), cur)
+        prv = jnp.asarray(self._prev_frame)
+        prev_xy = self._tracks.xy
+        u, v = self._flow_fn(prv, cur)
         self._tracks = tracking.advance(self._tracks, u, v)
+        if self.fb_check_threshold is not None:
+            ub, vb = self._flow_fn(cur, prv)
+            self._tracks = tracking.forward_backward_check(
+                self._tracks, prev_xy, ub, vb,
+                threshold=self.fb_check_threshold,
+            )
         self._prev_frame = np.asarray(cur)
         self.frame_index += 1
         if self.frame_index % self.keyframe_stride == 0:
@@ -166,8 +179,16 @@ class OdometrySession:
 
     # -- solve -------------------------------------------------------------
 
-    def solve(self, ba_iterations: int = 8) -> OdometryResult:
-        """Bundle-adjust the keyframe poses recorded so far."""
+    def solve(
+        self, ba_iterations: int = 8, window: int | None = None
+    ) -> OdometryResult:
+        """Bundle-adjust the keyframe poses recorded so far.
+
+        ``window``: if set, only the most recent ``window`` keyframes are
+        free — older poses are held fixed (sliding-window BA for long
+        sequences; landmarks stay free so re-observed old landmarks keep
+        constraining the window). Camera 0 is always pinned (gauge).
+        """
         import jax.numpy as jnp
 
         from tpuflow.vo import ba
@@ -207,7 +228,13 @@ class OdometrySession:
             obs_valid=jnp.asarray(valid),
             intrinsics=jnp.asarray(self.intrinsics, jnp.float32),
         )
-        solved = ba.solve(problem, iterations=ba_iterations, fixed_cams=(0,))
+        if window is not None and k > window:
+            fixed = tuple(range(k - window))  # includes camera 0
+        else:
+            fixed = (0,)
+        solved = ba.solve(
+            problem, iterations=ba_iterations, fixed_cams=fixed
+        )
         err = ba.reprojection_errors(solved)
         alive = np.asarray(problem.obs_valid)
         mean_err = float(np.asarray(err)[alive].mean()) if alive.any() else 0.0
@@ -252,6 +279,7 @@ class OdometrySession:
             "grid_step": self.grid_step,
             "init_depth": self.init_depth,
             "backend": self.backend,
+            "fb_check_threshold": self.fb_check_threshold,
         }
 
     @classmethod
@@ -266,6 +294,7 @@ class OdometrySession:
             grid_step=meta["grid_step"],
             init_depth=meta["init_depth"],
             backend=meta["backend"],
+            fb_check_threshold=meta.get("fb_check_threshold"),
         )
         sess.frame_index = int(state["frame_index"])
         sess.keyframes = [int(x) for x in np.asarray(state["keyframes"])]

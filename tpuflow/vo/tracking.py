@@ -109,3 +109,26 @@ def advance(
         age=jnp.where(alive, tracks.age + 1, tracks.age),
         alive=alive,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("threshold",))
+def forward_backward_check(
+    tracks: Tracks,
+    prev_xy: jax.Array,
+    flow_bwd_u: jax.Array,
+    flow_bwd_v: jax.Array,
+    threshold: float = 1.0,
+) -> Tracks:
+    """Kill tracks that fail the forward-backward consistency test.
+
+    ``tracks`` has already been advanced by the forward flow from
+    ``prev_xy``; the backward flow (curr -> prev) sampled at the new
+    positions should return each feature to where it started. Round-trip
+    error beyond ``threshold`` px marks occlusion or a bad flow estimate
+    (standard KLT-style validation — no reference counterpart, the
+    reference stops at dense flow).
+    """
+    back = sample_flow(flow_bwd_u, flow_bwd_v, tracks.xy)
+    err = jnp.linalg.norm(tracks.xy + back - prev_xy, axis=1)
+    alive = tracks.alive & (err <= threshold)
+    return tracks._replace(alive=alive)
