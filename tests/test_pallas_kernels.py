@@ -332,3 +332,25 @@ class TestFusedRefine:
                 img, jnp.clip(u, -8.0, 8.0), v
             )
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_gaussian_weights_pallas_matches_jnp(rng):
+    """The fast path honors the Gaussian-window option (BASELINE config
+    2): separable in-kernel weighted sums match the jnp 2-D weighted
+    correlation to f32 rounding."""
+    from tpuflow.flow import lucas_kanade_single_scale
+
+    prev = jnp.asarray(rng.uniform(0, 255, (48, 96)), jnp.float32)
+    curr = jnp.roll(prev, 1, axis=1)
+    uj, vj = lucas_kanade_single_scale(
+        prev, curr, backend="jnp", gaussian_weights=True
+    )
+    with pltpu.force_tpu_interpret_mode():
+        up, vp = lucas_kanade_single_scale(
+            prev, curr, backend="pallas", gaussian_weights=True
+        )
+    np.testing.assert_allclose(np.asarray(up), np.asarray(uj), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(vp), np.asarray(vj), atol=1e-4)
+    # And it actually changes the result vs the uniform window.
+    uu, _ = lucas_kanade_single_scale(prev, curr, backend="jnp")
+    assert np.abs(np.asarray(uu) - np.asarray(uj)).max() > 1e-4

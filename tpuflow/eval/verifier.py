@@ -125,7 +125,9 @@ def classify_result(mae_u: float, mae_v: float, pattern_name: str) -> str:
     return "Fail"
 
 
-def _make_runners(pyramid_config: PyramidConfig, backend: str):
+def _make_runners(
+    pyramid_config: PyramidConfig, backend: str, gaussian_weights: bool = False
+):
     """Build jitted single-scale and pyramidal runners (compiled once,
     reused across all 13 patterns — same shapes)."""
     import jax
@@ -135,7 +137,8 @@ def _make_runners(pyramid_config: PyramidConfig, backend: str):
     @jax.jit
     def single(prev, curr):
         return lucas_kanade_single_scale(
-            prev, curr, pyramid_config.window_size, backend=backend
+            prev, curr, pyramid_config.window_size, backend=backend,
+            gaussian_weights=gaussian_weights,
         )
 
     @jax.jit
@@ -344,6 +347,7 @@ def run_suite(
     pyramid_config_name: str = "default",
     backend: str = "jnp",
     verbose: bool = True,
+    gaussian_weights: bool = False,
 ) -> List[Dict[str, Any]]:
     """Run verification over the suite, generating it first if missing."""
     suite_dir = Path(suite_dir) if suite_dir else patterns_mod.DEFAULT_SUITE_DIR
@@ -364,7 +368,7 @@ def run_suite(
     names = pattern_names or list(index["patterns"].keys())
 
     cfg = PYRAMID_CONFIGS[pyramid_config_name]
-    runners = _make_runners(cfg, backend)
+    runners = _make_runners(cfg, backend, gaussian_weights)
 
     results = []
     for name in names:
@@ -387,6 +391,12 @@ def main() -> None:
         "--config can add more)",
     )
     parser.add_argument("--backend", type=str, default="jnp", choices=["jnp", "pallas"])
+    parser.add_argument(
+        "--gaussian-weights", action="store_true",
+        help="Gaussian window weighting for single-scale (the option the "
+        "reference documents but never implemented, README.md:126-129; "
+        "note the committed baselines are unweighted)",
+    )
     parser.add_argument(
         "--config", type=str, default=None, metavar="YAML",
         help="verifier config overriding thresholds/categories/test "
@@ -422,6 +432,7 @@ def main() -> None:
         pattern_names=args.pattern,
         pyramid_config_name=args.pyramid_config,
         backend=args.backend,
+        gaussian_weights=args.gaussian_weights,
     )
 
     out_dir = Path(args.output_dir)

@@ -24,6 +24,38 @@ def _plt():
     return plt
 
 
+def flow_to_color(u, v, max_mag=None):
+    """Dense-flow color encoding (HSV wheel): hue = direction,
+    saturation = magnitude, value = 1. The standard Middlebury-style
+    visualization for dense fields where quiver subsampling hides
+    structure; returns (H, W, 3) float RGB in [0, 1]."""
+    import matplotlib.colors as mcolors
+
+    u = np.asarray(u, np.float64)
+    v = np.asarray(v, np.float64)
+    mag = np.hypot(u, v)
+    if max_mag is None:
+        max_mag = max(float(np.percentile(mag, 99)), 1e-6)
+    hue = (np.arctan2(-v, -u) / np.pi + 1.0) / 2.0
+    sat = np.clip(mag / max_mag, 0.0, 1.0)
+    hsv = np.stack([hue, sat, np.ones_like(hue)], axis=-1)
+    return mcolors.hsv_to_rgb(hsv)
+
+
+def color_plot(u, v, title, output_path, max_mag=None):
+    """Save the dense color-wheel rendering of a flow field."""
+    plt = _plt()
+    rgb = flow_to_color(u, v, max_mag)
+    fig, ax = plt.subplots(figsize=(8, 6))
+    ax.imshow(rgb)
+    ax.set_title(title)
+    ax.axis("off")
+    fig.tight_layout()
+    fig.savefig(output_path, dpi=110)
+    plt.close(fig)
+    return output_path
+
+
 def quiver_plot(u, v, title, output_path, subsample_step=8, scale=10.0):
     """Subsampled quiver plot colored by magnitude (reference:
     optical_flow_verifier.py:394-452)."""
@@ -144,6 +176,9 @@ def main() -> None:
     parser.add_argument("--compare", type=str, default=None,
                         help="Second x-y-u-v dump to difference against")
     parser.add_argument("--output", type=str, default="flow_diagnostic.png")
+    parser.add_argument("--color", action="store_true",
+                        help="dense HSV color-wheel rendering instead of "
+                        "the 4-panel diagnostic")
     parser.add_argument("--title", type=str, default=None)
     args = parser.parse_args()
 
@@ -152,11 +187,16 @@ def main() -> None:
             raise SystemExit(f"flow dump not found: {f}")
     u, v = load_flow_text(args.flow_file)
     cmp_uv = load_flow_text(args.compare) if args.compare else None
-    diagnostic_panel(
-        u, v, args.output,
-        title=args.title or Path(args.flow_file).name,
-        compare_uv=cmp_uv,
-    )
+    if args.color:
+        color_plot(
+            u, v, args.title or Path(args.flow_file).name, args.output
+        )
+    else:
+        diagnostic_panel(
+            u, v, args.output,
+            title=args.title or Path(args.flow_file).name,
+            compare_uv=cmp_uv,
+        )
     print(f"Saved: {args.output}")
 
 

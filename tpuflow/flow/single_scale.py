@@ -43,6 +43,7 @@ def lucas_kanade_single_scale(
             frame_curr,
             window_size=window_size,
             det_threshold=det_threshold,
+            gaussian_weights=gaussian_weights,
         )
     ix, iy, it = jnp_ref.compute_gradients(frame_prev, frame_curr)
     return jnp_ref.lucas_kanade_from_gradients(

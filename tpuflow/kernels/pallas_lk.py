@@ -92,9 +92,15 @@ def _dma_slabs(prev_hbm, curr_hbm, bufs, sems, *, n_tiles, tile_rows):
 
 
 def _lk_tile(p, c, *, n_tiles: int, tile_rows: int, height: int,
-             width: int, window: int, det_threshold: float):
+             width: int, window: int, det_threshold: float,
+             taps: tuple[float, ...] | None = None):
     """Core LK math on one (slab_h, wp) slab pair: gradients ->
-    structure tensor -> Cramer solve -> interior-masked (u, v) tile."""
+    structure tensor -> Cramer solve -> interior-masked (u, v) tile.
+
+    ``taps``: optional per-tap 1-D window weights (the Gaussian window
+    option, reference README.md:126-129 / core/ops.gaussian_window_kernel
+    — separable, so weighted sums keep the same two-pass structure);
+    None = the reference code's uniform window."""
     avg = (p + c) * 0.5
 
     # Sobel on the averaged frame (true convolution == correlation with the
@@ -128,12 +134,22 @@ def _lk_tile(p, c, *, n_tiles: int, tile_rows: int, height: int,
     # Separable window sums of the 5 structure-tensor planes (the RTL's
     # 125-DSP window_accumulator, rtl/unopt/window_accumulator.sv:112-167).
     def wsum(a):
-        rows = a[0:tile_rows, :]
+        if taps is None:
+            rows = a[0:tile_rows, :]
+            for d in range(1, window):
+                rows = rows + a[d : tile_rows + d, :]
+            out = jax.lax.slice(rows, (0, 0), (tile_rows, width))
+            for d in range(1, window):
+                out = out + jax.lax.slice(rows, (0, d), (tile_rows, width + d))
+            return out
+        rows = taps[0] * a[0:tile_rows, :]
         for d in range(1, window):
-            rows = rows + a[d : tile_rows + d, :]
-        out = jax.lax.slice(rows, (0, 0), (tile_rows, width))
+            rows = rows + taps[d] * a[d : tile_rows + d, :]
+        out = taps[0] * jax.lax.slice(rows, (0, 0), (tile_rows, width))
         for d in range(1, window):
-            out = out + jax.lax.slice(rows, (0, d), (tile_rows, width + d))
+            out = out + taps[d] * jax.lax.slice(
+                rows, (0, d), (tile_rows, width + d)
+            )
         return out
 
     s_xx = wsum(ix * ix)
@@ -167,13 +183,14 @@ def _lk_tile(p, c, *, n_tiles: int, tile_rows: int, height: int,
 
 def _lk_kernel(prev_hbm, curr_hbm, u_ref, v_ref, bufs, sems,
                *, n_tiles: int, tile_rows: int, height: int, width: int,
-               window: int, det_threshold: float):
+               window: int, det_threshold: float,
+               taps: tuple[float, ...] | None = None):
     p, c = _dma_slabs(
         prev_hbm, curr_hbm, bufs, sems, n_tiles=n_tiles, tile_rows=tile_rows
     )
     u, v = _lk_tile(
         p, c, n_tiles=n_tiles, tile_rows=tile_rows, height=height,
-        width=width, window=window, det_threshold=det_threshold,
+        width=width, window=window, det_threshold=det_threshold, taps=taps,
     )
     u_ref[0] = u
     v_ref[0] = v
@@ -212,8 +229,24 @@ def _lk_refine_kernel(prev_hbm, curr_hbm, u_in, v_in, conv_ref,
     sdv_ref[0] = jnp.full((8, 128), jnp.sum(jnp.abs(dv)), dv.dtype)
 
 
+def _window_taps(window_size: int, weight_sigma: float) -> tuple[float, ...]:
+    """1-D separable factor of ops.gaussian_window_kernel (k2 =
+    outer(phi, phi)/sum == outer(phi/sum(phi), phi/sum(phi)))."""
+    import numpy as np
+
+    r = window_size // 2
+    x = np.arange(-r, r + 1, dtype=np.float64)
+    phi = np.exp(-0.5 * (x / weight_sigma) ** 2)
+    phi /= phi.sum()
+    return tuple(float(t) for t in phi.astype(np.float32))
+
+
 @functools.partial(
-    jax.jit, static_argnames=("window_size", "det_threshold", "tile_rows")
+    jax.jit,
+    static_argnames=(
+        "window_size", "det_threshold", "tile_rows",
+        "gaussian_weights", "weight_sigma",
+    ),
 )
 def _fused_batched(
     frame_prev: jax.Array,
@@ -221,6 +254,8 @@ def _fused_batched(
     window_size: int,
     det_threshold: float,
     tile_rows: int | None,
+    gaussian_weights: bool = False,
+    weight_sigma: float = 1.0,
 ) -> tuple[jax.Array, jax.Array]:
     """(B, H, W) batched fused LK."""
     bsz, h, w = frame_prev.shape
@@ -252,6 +287,8 @@ def _fused_batched(
         width=w,
         window=window_size,
         det_threshold=det_threshold,
+        taps=_window_taps(window_size, weight_sigma) if gaussian_weights
+        else None,
     )
     u, v = pl.pallas_call(
         kernel,
@@ -452,13 +489,15 @@ def lucas_kanade_refine(
 
 
 @functools.lru_cache(maxsize=None)
-def _make_fused(window_size: int, det_threshold: float, tile_rows: int | None):
+def _make_fused(window_size: int, det_threshold: float, tile_rows: int | None,
+                gaussian_weights: bool = False, weight_sigma: float = 1.0):
     """custom_vmap wrapper for one static configuration."""
 
     @jax.custom_batching.custom_vmap
     def fused(prev, curr):
         u, v = _fused_batched(
-            prev[None], curr[None], window_size, det_threshold, tile_rows
+            prev[None], curr[None], window_size, det_threshold, tile_rows,
+            gaussian_weights, weight_sigma,
         )
         return u[0], v[0]
 
@@ -469,7 +508,10 @@ def _make_fused(window_size: int, det_threshold: float, tile_rows: int | None):
             prev = jnp.broadcast_to(prev, (axis_size,) + prev.shape)
         if not cb:
             curr = jnp.broadcast_to(curr, (axis_size,) + curr.shape)
-        out = _fused_batched(prev, curr, window_size, det_threshold, tile_rows)
+        out = _fused_batched(
+            prev, curr, window_size, det_threshold, tile_rows,
+            gaussian_weights, weight_sigma,
+        )
         return out, (True, True)
 
     return fused
@@ -481,6 +523,8 @@ def lucas_kanade_fused(
     window_size: int = 5,
     det_threshold: float = 1e-4,
     tile_rows: int | None = None,
+    gaussian_weights: bool = False,
+    weight_sigma: float = 1.0,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused dense LK flow: (u, v) = kernel(prev, curr).
 
@@ -493,8 +537,9 @@ def lucas_kanade_fused(
         raise ValueError("pallas kernel supports window_size <= 7; use backend='jnp'")
     if frame_prev.ndim == 3:
         return _fused_batched(
-            frame_prev, frame_curr, window_size, det_threshold, tile_rows
+            frame_prev, frame_curr, window_size, det_threshold, tile_rows,
+            gaussian_weights, weight_sigma,
         )
-    return _make_fused(window_size, det_threshold, tile_rows)(
-        frame_prev, frame_curr
-    )
+    return _make_fused(
+        window_size, det_threshold, tile_rows, gaussian_weights, weight_sigma
+    )(frame_prev, frame_curr)
