@@ -73,6 +73,59 @@ def measure_dp(devices, h=1080, w=1920):
     return b / per_step  # frames/s aggregate
 
 
+def measure_tiled(devices, h=1080, w=1920):
+    """Marginal per-frame time of the spatially tiled (shard_map +
+    ppermute halo) pyramidal path over a ("batch", "ty", "tx") mesh —
+    the large-frame sharding axis, complementary to DP."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from tpuflow.sharding.tiled_pyramidal import tiled_lucas_kanade_pyramidal
+
+    n = len(devices)
+    ty = 1
+    while (ty * 2) ** 2 <= n * 2 and n % (ty * 2) == 0 and h % (ty * 2) == 0:
+        ty *= 2
+    tx = n // ty
+    if h % ty or w % tx:
+        return None
+    mesh = Mesh(np.array(devices).reshape(1, ty, tx), ("batch", "ty", "tx"))
+    backend = "pallas" if jax.default_backend() not in ("cpu",) else "jnp"
+
+    rng = np.random.default_rng(0)
+    prev = jnp.asarray(rng.uniform(0, 255, (1, h, w)), jnp.float32)
+    curr = jnp.asarray(rng.uniform(0, 255, (1, h, w)), jnp.float32)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop(a, bb, n):
+        def body(i, carry):
+            u, v = tiled_lucas_kanade_pyramidal(
+                a + carry, bb, mesh, backend=backend
+            )
+            return u * 1e-9
+
+        return jax.lax.fori_loop(
+            0, n, body, jnp.zeros((1, h, w), jnp.float32)
+        )[0, 0, 9]
+
+    n1, n2 = 3, 13
+    for n_ in (n1, n2):
+        float(loop(prev, curr, n_))
+        float(loop(prev, curr, n_))
+    ts = {}
+    for n_ in (n1, n2):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(loop(prev, curr, n_))
+            best = min(best, time.perf_counter() - t0)
+        ts[n_] = best
+    per_step = (ts[n2] - ts[n1]) / (n2 - n1)
+    return 1.0 / per_step
+
+
 def main() -> None:
     import jax
 
@@ -104,6 +157,20 @@ def main() -> None:
             )
         )
         sys.stdout.flush()
+
+    tiled = measure_tiled(devices)
+    if tiled is not None:
+        print(
+            json.dumps(
+                {
+                    "metric": "tiled_pyramidal_lk_1080p_fps",
+                    "devices": len(devices),
+                    "value": round(tiled, 2),
+                    "unit": "frames/s",
+                    "mode": "spatial ty*tx shard_map + ppermute halo",
+                }
+            )
+        )
 
 
 if __name__ == "__main__":

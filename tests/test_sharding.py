@@ -145,3 +145,27 @@ def test_tiled_pyramidal_matches_single_device(tiling, rng):
         np.testing.assert_allclose(
             np.asarray(v_t)[b], np.asarray(v_s), atol=1e-3,
         )
+
+
+def test_tiled_pallas_matches_single_pallas(rng):
+    """backend="pallas" tiled flow (per-shard fused kernels + halo
+    exchange) matches the single-device pallas fast path. Real-TPU only:
+    pallas inside shard_map+vmap does not run in interpret mode."""
+    import jax
+
+    if jax.default_backend() == "cpu":
+        pytest.skip("requires real TPU (pallas inside shard_map)")
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from tpuflow.flow import lucas_kanade_pyramidal
+    from tpuflow.sharding.tiled_pyramidal import tiled_lucas_kanade_pyramidal
+
+    devs = np.array(jax.devices()[:1]).reshape(1, 1, 1)
+    mesh = Mesh(devs, ("batch", "ty", "tx"))
+    prev = jnp.asarray(rng.uniform(0, 255, (1, 120, 160)), jnp.float32)
+    curr = jnp.roll(prev, 2, axis=2)
+    u_t, v_t = tiled_lucas_kanade_pyramidal(prev, curr, mesh, backend="pallas")
+    u_s, v_s = lucas_kanade_pyramidal(prev[0], curr[0], backend="pallas")
+    np.testing.assert_allclose(np.asarray(u_t[0]), np.asarray(u_s), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(v_t[0]), np.asarray(v_s), atol=1e-3)

@@ -58,15 +58,80 @@ def _warp_tile(img_ext, u, v, halo, gy0, gx0, gh, gw):
     return jnp.where(inside, val, 0.0)
 
 
+def _warp_tile_pallas(curr_ext, u, v, halo, gy0, gx0, gh, gw, max_disp):
+    """Banded Pallas warp of a halo-extended tile (the fast-path twin of
+    :func:`_warp_tile`): flow is zero-padded out to the extended shape,
+    the hardware-gather kernel warps the whole extended tile (its local
+    OOB mask never fires for center pixels — |flow| <= max_disp < halo),
+    and the center crop gets the exact global-border zero cut-off."""
+    from tpuflow.kernels import pallas_warp
+
+    h, w = u.shape
+    u_e = jnp.pad(u, halo)
+    v_e = jnp.pad(v, halo)
+    out_ext = pallas_warp.warp_image_banded(
+        curr_ext, u_e, v_e, max_disp=max_disp
+    )
+    val = lax.dynamic_slice(out_ext, (halo, halo), (h, w))
+    yy = lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xx = lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    gy = yy + gy0 + v
+    gx = xx + gx0 + u
+    inside = (gy >= 0) & (gy <= gh - 1) & (gx >= 0) & (gx <= gw - 1)
+    return jnp.where(inside, val, 0.0)
+
+
+def _local_lk_pallas(prev_t, warped, gy0, gx0, gh, gw, ty, tx,
+                     window, det_threshold):
+    """Per-shard fused-Pallas residual LK (fast-path twin of
+    :func:`tpuflow.sharding.tiled_flow._local_lk`).
+
+    The 3-px Sobel+window apron travels by halo exchange of the raw
+    prev/warped tiles (symm boundary == the kernel's own global symm
+    pad for the one ring that matters); the kernel then treats the
+    extended tile as a standalone image — its symm/interior handling of
+    the OUTER ring only affects outputs inside the cropped-away halo.
+    The global half-window border zeroing is reapplied by mask."""
+    from tpuflow.kernels import pallas_lk
+    from tpuflow.sharding import halo as halo_mod
+
+    half = window // 2
+    ext = half + 1  # Sobel reach beyond the window ring
+    h, w = prev_t.shape
+    prev_ext = halo_mod.exchange_halo_2d(
+        prev_t, ext, ty=ty, tx=tx, boundary="symm"
+    )
+    warped_ext = halo_mod.exchange_halo_2d(
+        warped, ext, ty=ty, tx=tx, boundary="symm"
+    )
+    du_e, dv_e = pallas_lk.lucas_kanade_fused(
+        prev_ext, warped_ext, window_size=window,
+        det_threshold=det_threshold,
+    )
+    du = lax.dynamic_slice(du_e, (ext, ext), (h, w))
+    dv = lax.dynamic_slice(dv_e, (ext, ext), (h, w))
+    rows = lax.broadcasted_iota(jnp.int32, (h, w), 0) + gy0
+    cols = lax.broadcasted_iota(jnp.int32, (h, w), 1) + gx0
+    interior = (
+        (rows >= half) & (rows < gh - half)
+        & (cols >= half) & (cols < gw - half)
+    )
+    return jnp.where(interior, du, 0.0), jnp.where(interior, dv, 0.0)
+
+
 def tiled_lucas_kanade_pyramidal(
     frame_prev: jax.Array,
     frame_curr: jax.Array,
     mesh: Mesh,
     config: PyramidConfig | None = None,
+    backend: str = "jnp",
 ) -> tuple[jax.Array, jax.Array]:
     """Pyramidal flow over ("batch", "ty", "tx")-sharded (B, H, W) frames.
 
-    Matches ``lucas_kanade_pyramidal(..., rtl_clamp=True)`` exactly.
+    Matches ``lucas_kanade_pyramidal(..., rtl_clamp=True)`` exactly with
+    ``backend="jnp"``; ``backend="pallas"`` swaps the per-shard warp and
+    LK solves for the fused TPU kernels (same fast-path numerics as the
+    single-device pallas backend).
     """
     cfg = config or PyramidConfig()
     ty = mesh.shape["ty"]
@@ -93,17 +158,30 @@ def tiled_lucas_kanade_pyramidal(
             curr_ext = halo_mod.exchange_halo_2d(
                 curr_t, warp_halo, ty=ty, tx=tx, boundary="zero"
             )
-            warped = _warp_tile(curr_ext, u, v, warp_halo, gy0, gx0, gh, gw)
-            avg_ext = halo_mod.exchange_halo_2d(
-                (prev_t + warped) * 0.5, HALO, ty=ty, tx=tx, boundary="symm"
-            )
-            it_ext = halo_mod.exchange_halo_2d(
-                prev_t - warped, HALO - 1, ty=ty, tx=tx, boundary="zero"
-            )
-            du, dv = _local_lk(
-                avg_ext, it_ext, gy0, gx0, gh, gw,
-                cfg.window_size, cfg.det_threshold,
-            )
+            if backend == "pallas":
+                warped = _warp_tile_pallas(
+                    curr_ext, u, v, warp_halo, gy0, gx0, gh, gw,
+                    cfg.max_disp,
+                )
+                du, dv = _local_lk_pallas(
+                    prev_t, warped, gy0, gx0, gh, gw, ty, tx,
+                    cfg.window_size, cfg.det_threshold,
+                )
+            else:
+                warped = _warp_tile(
+                    curr_ext, u, v, warp_halo, gy0, gx0, gh, gw
+                )
+                avg_ext = halo_mod.exchange_halo_2d(
+                    (prev_t + warped) * 0.5, HALO, ty=ty, tx=tx,
+                    boundary="symm",
+                )
+                it_ext = halo_mod.exchange_halo_2d(
+                    prev_t - warped, HALO - 1, ty=ty, tx=tx, boundary="zero"
+                )
+                du, dv = _local_lk(
+                    avg_ext, it_ext, gy0, gx0, gh, gw,
+                    cfg.window_size, cfg.det_threshold,
+                )
             u2 = jnp.where(converged, u, u + du)
             v2 = jnp.where(converged, v, v + dv)
             # Global means over all tiles (psum across the spatial axes).
@@ -132,7 +210,11 @@ def tiled_lucas_kanade_pyramidal(
         return u, v
 
     @functools.partial(
-        shard_map, mesh=mesh, in_specs=(spec, spec), out_specs=(spec, spec)
+        shard_map, mesh=mesh, in_specs=(spec, spec), out_specs=(spec, spec),
+        # pallas_call outputs carry no vma annotation inside shard_map;
+        # correctness vs the single-device path is asserted numerically
+        # in tests/test_sharding.py instead.
+        check_vma=False,
     )
     def step(prev_l, curr_l):
         gy0 = lax.axis_index("ty") * th
@@ -157,7 +239,7 @@ def tiled_lucas_kanade_pyramidal(
                 if level > 0:
                     u, v = jnp_ref.upsample_flow(u, v, pyr_prev[level].shape)
                 u, v = _refine_level(
-                    pyr_prev[level], pyr_curr[level], u, v, cfg, "jnp",
+                    pyr_prev[level], pyr_curr[level], u, v, cfg, backend,
                     rtl_clamp=True,
                 )
 
