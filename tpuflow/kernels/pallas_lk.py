@@ -220,7 +220,9 @@ def _lk_refine_kernel(prev_hbm, curr_hbm, u_in, v_in, conv_ref,
     v_c = jnp.clip(v_in[0], -max_disp, max_disp)
     # Converged frames stop accumulating (the reference's break; under
     # vmap the while_loop keeps running until every frame converges).
-    frozen = conv_ref[0, 0] > 0
+    # conv_ref is the full (bsz, 1) SMEM array (blocks smaller than the
+    # array are rejected for SMEM); index this step's batch element.
+    frozen = conv_ref[pl.program_id(0) // n_tiles, 0] > 0
     u_out[0] = jnp.where(frozen, u_c, u_c + du)
     v_out[0] = jnp.where(frozen, v_c, v_c + dv)
     # Per-tile partial sums, broadcast over one min-tile (8, 128) block —
@@ -395,8 +397,7 @@ def _refine_batched(
             flow_spec,
             flow_spec,
             pl.BlockSpec(
-                (1, 1), lambda s: (s // n_tiles, 0),
-                memory_space=pltpu.SMEM,
+                (bsz, 1), lambda s: (0, 0), memory_space=pltpu.SMEM
             ),
         ],
         out_specs=(flow_spec, flow_spec, sum_spec, sum_spec),
