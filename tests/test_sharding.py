@@ -169,3 +169,52 @@ def test_tiled_pallas_matches_single_pallas(rng):
     u_s, v_s = lucas_kanade_pyramidal(prev[0], curr[0], backend="pallas")
     np.testing.assert_allclose(np.asarray(u_t[0]), np.asarray(u_s), atol=1e-3)
     np.testing.assert_allclose(np.asarray(v_t[0]), np.asarray(v_s), atol=1e-3)
+
+
+def test_extended_tile_pallas_lk_geometry(rng):
+    """The tiled fast path's core geometry claim, tested without
+    shard_map: running the fused LK kernel on a halo-extended tile and
+    cropping the halo reproduces the global kernel's output over that
+    tile — for interior tiles AND for global-border tiles (where the
+    symm halo ring stands in for the kernel's own global symm pad)."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tpuflow.kernels import pallas_lk
+
+    gh, gw = 64, 256
+    prev = jnp.asarray(rng.uniform(0, 255, (gh, gw)), jnp.float32)
+    curr = jnp.asarray(rng.uniform(0, 255, (gh, gw)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        u_g, v_g = pallas_lk.lucas_kanade_fused(prev, curr)
+
+    ext = 3  # window half (2) + Sobel reach (1)
+    # Symm-pad the global frame once; every extended tile is a slice of
+    # it (what exchange_halo_2d produces with boundary="symm").
+    prev_p = jnp.pad(prev, ext, mode="symmetric")
+    curr_p = jnp.pad(curr, ext, mode="symmetric")
+
+    th, tw = 32, 128
+    for (y0, x0) in [(0, 0), (32, 128), (0, 128), (32, 0)]:
+        pe = prev_p[y0 : y0 + th + 2 * ext, x0 : x0 + tw + 2 * ext]
+        ce = curr_p[y0 : y0 + th + 2 * ext, x0 : x0 + tw + 2 * ext]
+        with pltpu.force_tpu_interpret_mode():
+            du_e, dv_e = pallas_lk.lucas_kanade_fused(pe, ce)
+        du = np.asarray(du_e)[ext : ext + th, ext : ext + tw]
+        dv = np.asarray(dv_e)[ext : ext + th, ext : ext + tw]
+        # Reapply the global half-window border mask.
+        rows = np.arange(y0, y0 + th)[:, None]
+        cols = np.arange(x0, x0 + tw)[None, :]
+        interior = (
+            (rows >= 2) & (rows < gh - 2) & (cols >= 2) & (cols < gw - 2)
+        )
+        du = np.where(interior, du, 0.0)
+        dv = np.where(interior, dv, 0.0)
+        np.testing.assert_allclose(
+            du, np.asarray(u_g)[y0 : y0 + th, x0 : x0 + tw], atol=1e-5,
+            err_msg=f"tile ({y0},{x0}) u",
+        )
+        np.testing.assert_allclose(
+            dv, np.asarray(v_g)[y0 : y0 + th, x0 : x0 + tw], atol=1e-5,
+            err_msg=f"tile ({y0},{x0}) v",
+        )
