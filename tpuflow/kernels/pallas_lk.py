@@ -262,11 +262,10 @@ def _fused_batched(
     """(B, H, W) batched fused LK."""
     bsz, h, w = frame_prev.shape
     if tile_rows is None:
-        # ~30 live (th, w)-sized f32 planes in VMEM (double-buffered
-        # slabs, gradients, products, sums, double-buffered outputs,
-        # Mosaic temporaries); keep the working set under ~12 MB.
-        budget_rows = (12 * 1024 * 1024) // (30 * 4 * max(w, 128))
-        tile_rows = min(128, max(8, (budget_rows // 8) * 8))
+        # ~30 live (th, w)-sized f32 planes in VMEM; 14 MB budget with a
+        # 64-row cap (v5e sweep at 1080p: 64 fastest, 88 overflows).
+        budget_rows = (14 * 1024 * 1024) // (30 * 4 * max(w, 128))
+        tile_rows = min(64, max(8, (budget_rows // 8) * 8))
     th = min(tile_rows, _round_up(h, 8))
     hp = _round_up(h, th)
     # DMA slabs must be tile-aligned: rows to 8 sublanes (th, APRON do
@@ -354,8 +353,10 @@ def _refine_batched(
     """
     bsz, h, w = frame_prev.shape
     if tile_rows is None:
-        budget_rows = (12 * 1024 * 1024) // (30 * 4 * max(w, 128))
-        tile_rows = min(128, max(8, (budget_rows // 8) * 8))
+        # ~30 live (th, w)-sized f32 planes in VMEM; 14 MB budget with a
+        # 64-row cap (v5e sweep at 1080p: 64 fastest, 88 overflows).
+        budget_rows = (14 * 1024 * 1024) // (30 * 4 * max(w, 128))
+        tile_rows = min(64, max(8, (budget_rows // 8) * 8))
     th = min(tile_rows, _round_up(h, 8))
     hp = _round_up(h, th)
     wp = _round_up(w + 2 * APRON, 128)
