@@ -91,8 +91,14 @@ def profile_pipeline(height: int = 1080, width: int = 1920) -> list[dict]:
         ),
         (
             "pyramid build (3 lvl)",
-            lambda x: jnp_ref.build_gaussian_pyramid(x, 3)[2],
-            2 * 8 * px,
+            # Pad the coarsest level back to (h, w) so the timing chain
+            # depends on the whole build (level [2] is the input itself
+            # and would measure a no-op).
+            lambda x: jnp.pad(
+                (lvl := jnp_ref.build_gaussian_pyramid(x, 3)[0]),
+                ((0, h - lvl.shape[0]), (0, w - lvl.shape[1])),
+            ),
+            8 * px,
         ),
         (
             "pyramidal total (fast)",
