@@ -344,3 +344,121 @@ def run_odometry(
     for frame in frames:
         session.process_frame(frame)
     return session.solve(ba_iterations=ba_iterations)
+
+
+def run_odometry_chunked(
+    frames: Sequence[np.ndarray],
+    intrinsics: Sequence[float],
+    chunk_size: int = 6,
+    overlap: int = 2,
+    grid_step: int = 16,
+    init_depth: float = 5.0,
+    ba_iterations: int = 8,
+    pg_iterations: int = 15,
+    backend: str = "jnp",
+) -> "OdometryResult":
+    """Local-BA + global pose-graph odometry (the classic SLAM split).
+
+    Frames are processed in overlapping chunks: each chunk runs dense
+    flow -> tracks -> bundle adjustment independently (bounded problem
+    size, chunks could run in parallel), producing relative poses
+    between its consecutive keyframes. Chunk scales (the monocular gauge
+    freedom of each local solve) are chained through the shared overlap
+    edge, then all relative-pose constraints are fused by global
+    pose-graph Gauss-Newton (tpuflow.vo.pose_graph) — the "keyframe
+    pose-graph optimization" stage of the BASELINE north star, fed by
+    the BA front-end rather than replacing it.
+
+    ``overlap`` must be >= 2 so consecutive chunks share one relative
+    pose for scale chaining.
+    """
+    import jax.numpy as jnp
+
+    from tpuflow.vo import pose_graph, se3
+
+    if overlap < 2:
+        raise ValueError("overlap must be >= 2 for scale chaining")
+    n = len(frames)
+    step = chunk_size - overlap + 1
+    starts = list(range(0, max(n - chunk_size, 0) + 1, step - 1 if step > 1 else 1))
+    if starts[-1] + chunk_size < n:
+        starts.append(n - chunk_size)
+
+    def rel(pr, pt, i, j):
+        """T_i^-1 o T_j (the pose-graph edge measurement convention)."""
+        ri, ti = se3.inverse(jnp.asarray(pr[i]), jnp.asarray(pt[i]))
+        return se3.compose(ri, ti, jnp.asarray(pr[j]), jnp.asarray(pt[j]))
+
+    edges = {}  # (gi, gj) -> (R, t)
+    scale = 1.0
+    prev_shared = None  # ((gi, gj), |t| in previous chunk's scale)
+    last_result = None
+    for s in starts:
+        res = run_odometry(
+            frames[s : s + chunk_size], intrinsics,
+            grid_step=grid_step, init_depth=init_depth,
+            ba_iterations=ba_iterations, backend=backend,
+        )
+        last_result = res
+        kf = [s + i for i in res.keyframe_indices]
+        rels = [
+            (kf[i], kf[i + 1], rel(res.poses_r, res.poses_t, i, i + 1))
+            for i in range(len(kf) - 1)
+        ]
+        if prev_shared is not None:
+            (gi, gj), prev_norm = prev_shared
+            match = [r for r in rels if (r[0], r[1]) == (gi, gj)]
+            if match:
+                tn = float(np.linalg.norm(np.asarray(match[0][2][1])))
+                if tn > 1e-9:
+                    scale *= prev_norm / tn
+        for gi, gj, (rr, tt) in rels:
+            if (gi, gj) not in edges:
+                edges[(gi, gj)] = (np.asarray(rr), np.asarray(tt) * scale)
+        last_gi, last_gj, (rr, tt) = rels[-1]
+        prev_shared = (
+            (last_gi, last_gj),
+            float(np.linalg.norm(np.asarray(tt))) * scale,
+        )
+
+    # Global keyframe set + sequential initialization by chaining edges.
+    nodes = sorted({i for ij in edges for i in ij})
+    idx = {g: k for k, g in enumerate(nodes)}
+    k = len(nodes)
+    pr = np.tile(np.eye(3, dtype=np.float32)[None], (k, 1, 1))
+    pt = np.zeros((k, 3), np.float32)
+    for (gi, gj), (rr, tt) in sorted(edges.items()):
+        i, j = idx[gi], idx[gj]
+        rj, tj = se3.compose(
+            jnp.asarray(pr[i]), jnp.asarray(pt[i]),
+            jnp.asarray(rr), jnp.asarray(tt),
+        )
+        pr[j] = np.asarray(rj)
+        pt[j] = np.asarray(tj)
+
+    ei = np.asarray([idx[a] for (a, _b) in edges], np.int32)
+    ej = np.asarray([idx[b] for (_a, b) in edges], np.int32)
+    er = np.stack([e[0] for e in edges.values()])
+    et = np.stack([e[1] for e in edges.values()])
+    g = pose_graph.PoseGraph(
+        poses_r=jnp.asarray(pr),
+        poses_t=jnp.asarray(pt),
+        edge_i=jnp.asarray(ei),
+        edge_j=jnp.asarray(ej),
+        edge_r=jnp.asarray(er),
+        edge_t=jnp.asarray(et),
+        edge_valid=jnp.ones(len(edges), bool),
+        edge_weight=jnp.ones(len(edges), jnp.float32),
+    )
+    solved = pose_graph.solve(g, iterations=pg_iterations)
+    resid = float(
+        jnp.abs(pose_graph.residuals(solved)).max()
+    )
+    return OdometryResult(
+        poses_r=np.asarray(solved.poses_r),
+        poses_t=np.asarray(solved.poses_t),
+        landmarks=last_result.landmarks,
+        keyframe_indices=nodes,
+        track_count=last_result.track_count,
+        mean_reprojection_error=resid,
+    )
