@@ -122,3 +122,46 @@ def test_yaml_config_overrides(tmp_path):
         verifier.CENTER_CROP, verifier.BORDER = saved[2], saved[3]
         PYRAMID_CONFIGS.clear()
         PYRAMID_CONFIGS.update(saved[4])
+
+
+def test_update_baseline_roundtrip(tmp_path):
+    """--update-baseline writes a baseline that the regression compare
+    then passes exactly (reference optical_flow_verifier.py:722-735)."""
+    from tpuflow.eval import verifier
+
+    results = [
+        {
+            "pattern_name": "translate_medium",
+            "ground_truth": {"u": 2.0, "v": 0.0},
+            "num_test_pixels": 100,
+            "single_scale": {
+                "metrics": {"mae_u": 0.9, "mae_v": 0.5, "epe": 1.1},
+                "status": "Warning",
+            },
+            "pyramidal": {
+                "metrics": {"mae_u": 0.5, "mae_v": 0.4, "epe": 0.7},
+                "status": "Warning",
+                "config": "default",
+            },
+            "flow_fields": {"single": (None, None), "pyramidal": (None, None)},
+        }
+    ]
+    path = tmp_path / "baseline.json"
+    verifier.update_baseline(results, path)
+    assert path.exists()
+    assert verifier.compare_against_baseline(results, path, verbose=False)
+
+    # A >10% change is flagged...
+    worse = [dict(results[0]) for _ in range(1)]
+    worse[0] = {
+        **results[0],
+        "single_scale": {
+            "metrics": {"mae_u": 1.2, "mae_v": 0.5, "epe": 1.1},
+            "status": "Warning",
+        },
+    }
+    assert not verifier.compare_against_baseline(worse, path, verbose=False)
+    # ...but tolerated at a looser threshold.
+    assert verifier.compare_against_baseline(
+        worse, path, threshold_percent=50.0, verbose=False
+    )
