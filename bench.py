@@ -5,9 +5,10 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Workload (BASELINE.json config 4): 3-level pyramidal LK on natural
 mountain-texture frames at 1080p, fast TPU path (fused Pallas LK kernel +
-banded Pallas warp; for the 2 px test motion the fast path is numerically
-identical to the reference-parity path — the RTL-style +-8 px clamp never
-engages).
+banded Pallas warp). The fast path's kernels are bit-identical to the
+parity path for in-band flow; its RTL-style +-8 px clamp only engages on
+unbounded border-garbage vectors, where it *improves* suite metrics
+(docs/verification_results_pallas.md vs the parity snapshot).
 
 ``vs_baseline``: the reference FPGA accelerator achieved ~100 fps at
 320x240 *single-scale* (7.7 MHz achieved clock, 76,800 cycles/frame;
