@@ -543,3 +543,141 @@ def test_chunked_odometry_pose_graph():
     span = positions[-1, 0]
     assert np.abs(positions[1:, 1]).max() < 0.6 * span
     assert np.abs(positions[1:, 2]).max() < 0.6 * span
+
+
+# ---------------------------------------------------------------------------
+# Essential-matrix initialization (tpuflow.vo.epipolar)
+# ---------------------------------------------------------------------------
+
+
+def _two_view_scene(rng, n=60, baseline=(0.4, 0.05, 0.0), rot=(0.0, 0.06, 0.01)):
+    """Synthetic two-view geometry with the ba.py convention
+    (world->camera, camera 1 = identity)."""
+    from tpuflow.vo import epipolar  # noqa: F401
+
+    intr = jnp.asarray([400.0, 400.0, 160.0, 120.0])
+    pts = np.stack(
+        [rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n), rng.uniform(4, 9, n)],
+        axis=1,
+    ).astype(np.float32)
+    r_rel = np.asarray(se3.so3_exp(jnp.asarray(np.asarray(rot, np.float32))))
+    t_rel = np.asarray(baseline, np.float32)
+    uv1 = np.stack(
+        [
+            400.0 * pts[:, 0] / pts[:, 2] + 160.0,
+            400.0 * pts[:, 1] / pts[:, 2] + 120.0,
+        ],
+        axis=1,
+    )
+    p2 = pts @ r_rel.T + t_rel
+    uv2 = np.stack(
+        [
+            400.0 * p2[:, 0] / p2[:, 2] + 160.0,
+            400.0 * p2[:, 1] / p2[:, 2] + 120.0,
+        ],
+        axis=1,
+    )
+    return intr, pts, r_rel, t_rel, uv1.astype(np.float32), uv2.astype(np.float32)
+
+
+def test_two_view_init_recovers_relative_pose(rng):
+    from tpuflow.vo import epipolar
+
+    intr, pts, r_rel, t_rel, uv1, uv2 = _two_view_scene(rng)
+    init = epipolar.two_view_init(
+        jnp.asarray(uv1), jnp.asarray(uv2),
+        jnp.ones(len(uv1), bool), intr,
+    )
+    # Rotation exact to f32/eigh tolerance.
+    np.testing.assert_allclose(np.asarray(init.r), r_rel, atol=2e-3)
+    # Translation recovered up to scale: direction aligned.
+    t_dir = t_rel / np.linalg.norm(t_rel)
+    cos = float(np.asarray(init.t) @ t_dir)
+    assert cos > 0.999, cos
+    # Cheirality: every point in front of both cameras.
+    assert int(init.n_good) == len(uv1)
+    # Triangulated depths match ground truth up to the unit-|t| scale.
+    s = np.linalg.norm(t_rel)
+    np.testing.assert_allclose(
+        np.asarray(init.depths1) * s, pts[:, 2], rtol=0.02
+    )
+
+
+def test_two_view_init_ignores_invalid_rows(rng):
+    from tpuflow.vo import epipolar
+
+    intr, _, r_rel, _, uv1, uv2 = _two_view_scene(rng)
+    # Corrupt half the rows but mark them invalid; result must still hold.
+    uv2_bad = uv2.copy()
+    uv2_bad[::2] += rng.uniform(-80, 80, (len(uv2[::2]), 2))
+    valid = np.ones(len(uv1), bool)
+    valid[::2] = False
+    init = epipolar.two_view_init(
+        jnp.asarray(uv1), jnp.asarray(uv2_bad), jnp.asarray(valid), intr
+    )
+    np.testing.assert_allclose(np.asarray(init.r), r_rel, atol=5e-3)
+
+
+def test_triangulate_landmarks_multiview(rng):
+    from tpuflow.vo import epipolar
+
+    intr, pts, r_rel, t_rel, uv1, uv2 = _two_view_scene(rng)
+    n = len(pts)
+    poses_r = jnp.stack([jnp.eye(3), jnp.asarray(r_rel)])
+    poses_t = jnp.stack([jnp.zeros(3), jnp.asarray(t_rel)])
+    obs_uv = jnp.asarray(np.concatenate([uv1, uv2]))
+    obs_cam = jnp.asarray(np.r_[np.zeros(n), np.ones(n)].astype(np.int32))
+    obs_lm = jnp.asarray(np.r_[np.arange(n), np.arange(n)].astype(np.int32))
+    valid = np.ones(2 * n, bool)
+    valid[n + 5] = False  # landmark 5: single view -> degenerate -> fallback
+    fallback = np.full((n, 3), -123.0, np.float32)
+    out = np.asarray(
+        epipolar.triangulate_landmarks(
+            poses_r, poses_t, obs_uv, obs_cam, obs_lm,
+            jnp.asarray(valid), intr, n_landmarks=n,
+            fallback=jnp.asarray(fallback),
+        )
+    )
+    keep = np.ones(n, bool)
+    keep[5] = False
+    np.testing.assert_allclose(out[keep], pts[keep], atol=1e-2)
+    np.testing.assert_array_equal(out[5], fallback[5])
+
+
+def test_essential_init_bootstraps_large_baseline():
+    """Two-depth-layer sequence with a large per-frame shift (the case
+    where identity-initialized BA needs LM rescue): essential-matrix
+    bootstrapping must land BA at a lower reprojection error than the
+    identity init at the same (small) iteration budget, with the
+    trajectory monotone along the true motion axis. Layered depths both
+    break the fronto-parallel planar degeneracy of the essential matrix
+    and give BA real structure to explain."""
+    from scipy.ndimage import shift as nd_shift
+
+    from tpuflow.eval import patterns
+    from tpuflow.vo.pipeline import OdometrySession
+
+    base = patterns.load_base_texture(320, 240).astype(np.float32)
+
+    def frame(i):
+        # Camera translating +x over two depth layers: shift = fx*tx/Z
+        # (Z=10 top -> 3 px/frame, Z=5 bottom -> 6 px/frame).
+        f = base.copy()
+        f[:120] = nd_shift(base[:120], (0.0, -3.0 * i), order=1, mode="nearest")
+        f[120:] = nd_shift(base[120:], (0.0, -6.0 * i), order=1, mode="nearest")
+        return f
+
+    frames = [frame(i) for i in range(4)]
+    sess = OdometrySession((300.0, 300.0, 160.0, 120.0), grid_step=16)
+    for f in frames:
+        sess.process_frame(f)
+
+    boot = sess.solve(ba_iterations=4, essential_init=True)
+    plain = sess.solve(ba_iterations=4)
+    assert boot.mean_reprojection_error < 1.6, boot.mean_reprojection_error
+    assert boot.mean_reprojection_error < plain.mean_reprojection_error
+    positions = np.stack(
+        [-r.T @ t for r, t in zip(boot.poses_r, boot.poses_t)]
+    )
+    dx = np.diff(positions[:, 0])
+    assert np.all(dx > 0), positions[:, 0]

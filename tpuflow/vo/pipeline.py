@@ -179,8 +179,102 @@ class OdometrySession:
 
     # -- solve -------------------------------------------------------------
 
+    def _essential_initial_poses(self) -> tuple[np.ndarray, np.ndarray]:
+        """Closed-form pose chain from per-edge essential matrices.
+
+        For each consecutive keyframe pair: match observation slots that
+        kept the same landmark id, run the jitted 8-point + cheirality
+        pipeline (tpuflow.vo.epipolar.two_view_init), and chain the
+        relative poses. Monocular per-edge scale is propagated by the
+        depth ratio of landmarks shared with the previous edge; the
+        first edge is scaled so the median triangulated depth equals
+        ``init_depth`` (the session's monocular gauge convention).
+        Degenerate edges (too few matches, ~zero pixel motion, or a
+        losing cheirality vote) fall back to an identity relative pose.
+        """
+        import jax.numpy as jnp
+
+        from tpuflow.vo import epipolar, se3
+
+        k = len(self.keyframes)
+        intr = jnp.asarray(self.intrinsics, jnp.float32)
+        pr = np.tile(np.eye(3, dtype=np.float32)[None], (k, 1, 1))
+        pt = np.zeros((k, 3), np.float32)
+        prev_edge = None  # (lm_ids, points_unit (N,3), rel_r, rel_t, scale)
+        scale = 1.0
+        for e in range(k - 1):
+            valid = (
+                self.obs_valid[e]
+                & self.obs_valid[e + 1]
+                & (self.obs_lm[e] == self.obs_lm[e + 1])
+            )
+            uv1 = self.obs_uv[e]
+            uv2 = self.obs_uv[e + 1]
+            disp = np.linalg.norm(uv2 - uv1, axis=1)
+            moved = float(np.median(disp[valid])) if valid.any() else 0.0
+            if int(valid.sum()) < 8 or moved < 0.5:
+                # Near-degenerate: keep the previous pose (identity edge).
+                pr[e + 1] = pr[e]
+                pt[e + 1] = pt[e]
+                prev_edge = None
+                continue
+            init = epipolar.two_view_init(
+                jnp.asarray(uv1), jnp.asarray(uv2), jnp.asarray(valid), intr
+            )
+            n_good = int(init.n_good)
+            if n_good < max(8, 0.5 * int(valid.sum())):
+                pr[e + 1] = pr[e]
+                pt[e + 1] = pt[e]
+                prev_edge = None
+                continue
+            rel_r = np.asarray(init.r)
+            rel_t = np.asarray(init.t)
+            depths = np.asarray(init.depths1)
+            good = np.asarray(init.good)
+            x1 = np.asarray(
+                epipolar.normalize_pixels(jnp.asarray(uv1), intr)
+            )
+            pts_unit = (
+                np.concatenate([x1, np.ones((x1.shape[0], 1))], axis=1)
+                * depths[:, None]
+            ).astype(np.float32)
+
+            if prev_edge is None:
+                scale = self.init_depth / max(
+                    float(np.median(depths[good])), 1e-6
+                )
+            else:
+                p_ids, p_pts, p_r, p_t, p_scale = prev_edge
+                common = (
+                    good
+                    & p_ids[1]
+                    & (self.obs_lm[e] == p_ids[0])
+                )
+                if int(common.sum()) >= 4:
+                    # Previous edge's points, moved into this frame and
+                    # scaled: depth each shared landmark *should* have.
+                    z_prev = p_scale * (p_pts[common] @ p_r.T + p_t)[:, 2]
+                    z_cur = depths[common]
+                    ratio = z_prev / np.maximum(z_cur, 1e-6)
+                    ratio = ratio[(z_prev > 1e-6) & (z_cur > 1e-6)]
+                    if ratio.size >= 4:
+                        scale = float(np.median(ratio))
+            rj, tj = se3.compose(
+                jnp.asarray(rel_r), jnp.asarray(rel_t * scale),
+                jnp.asarray(pr[e]), jnp.asarray(pt[e]),
+            )
+            pr[e + 1] = np.asarray(rj)
+            pt[e + 1] = np.asarray(tj)
+            prev_edge = (
+                (self.obs_lm[e].copy(), good), pts_unit, rel_r, rel_t, scale
+            )
+        return pr, pt
+
     def solve(
-        self, ba_iterations: int = 8, window: int | None = None
+        self,
+        ba_iterations: int = 8,
+        window: int | None = None,
+        essential_init: bool = False,
     ) -> OdometryResult:
         """Bundle-adjust the keyframe poses recorded so far.
 
@@ -188,6 +282,11 @@ class OdometrySession:
         free — older poses are held fixed (sliding-window BA for long
         sequences; landmarks stay free so re-observed old landmarks keep
         constraining the window). Camera 0 is always pinned (gauge).
+
+        ``essential_init``: bootstrap poses from per-edge essential-
+        matrix decompositions and landmarks from multi-view linear
+        triangulation instead of identity/flat-depth — the large-
+        baseline initialization (tpuflow.vo.epipolar).
         """
         import jax.numpy as jnp
 
@@ -218,10 +317,29 @@ class OdometrySession:
             axis=1,
         ).astype(np.float32)
 
+        if essential_init and k >= 2:
+            from tpuflow.vo import epipolar
+
+            pr0, pt0 = self._essential_initial_poses()
+            init_r = jnp.asarray(pr0)
+            init_t = jnp.asarray(pt0)
+            lm0 = epipolar.triangulate_landmarks(
+                init_r, init_t,
+                jnp.asarray(uv, jnp.float32), jnp.asarray(cam),
+                jnp.asarray(lm_idx), jnp.asarray(valid),
+                jnp.asarray(self.intrinsics, jnp.float32),
+                n_landmarks=n_lm,
+                fallback=jnp.asarray(landmarks),
+            )
+        else:
+            init_r = jnp.tile(jnp.eye(3)[None], (k, 1, 1))
+            init_t = jnp.zeros((k, 3))
+            lm0 = jnp.asarray(landmarks)
+
         problem = ba.BAProblem(
-            poses_r=jnp.tile(jnp.eye(3)[None], (k, 1, 1)),
-            poses_t=jnp.zeros((k, 3)),
-            landmarks=jnp.asarray(landmarks),
+            poses_r=init_r,
+            poses_t=init_t,
+            landmarks=lm0,
             obs_uv=jnp.asarray(uv, jnp.float32),
             obs_cam=jnp.asarray(cam),
             obs_lm=jnp.asarray(lm_idx),
