@@ -681,3 +681,161 @@ def test_essential_init_bootstraps_large_baseline():
     )
     dx = np.diff(positions[:, 0])
     assert np.all(dx > 0), positions[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# Keyframe marginalization (OdometrySession.compact)
+# ---------------------------------------------------------------------------
+
+
+def _translating_session(n_frames, px_step=1.2, size=(320, 120)):
+    from scipy.ndimage import shift as nd_shift
+
+    from tpuflow.eval import patterns
+    from tpuflow.vo.pipeline import OdometrySession
+
+    w, h = size
+    base = patterns.load_base_texture(w, h).astype(np.float32)
+    frames = [
+        nd_shift(base, (0.0, -px_step * i), order=1, mode="nearest")
+        for i in range(n_frames)
+    ]
+    sess = OdometrySession((150.0, 150.0, w / 2.0, h / 2.0), grid_step=16)
+    return sess, frames
+
+
+def test_compact_bounds_memory_and_keeps_trajectory():
+    """compact(keep_last=4) every 2 keyframes: observation records stay
+    bounded, landmark table stays bounded, and the full reported
+    trajectory (frozen prefix + window) is monotone with healthy
+    reprojection error."""
+    sess, frames = _translating_session(12)
+    n_slots = None
+    for i, f in enumerate(frames):
+        sess.process_frame(f)
+        if n_slots is None:
+            n_slots = sess.obs_uv[0].shape[0]
+        if i >= 4 and i % 2 == 0:
+            sess.compact(keep_last=4, ba_iterations=6)
+            assert len(sess.obs_uv) <= 4
+            # Memory bound: landmark table ~ window-visible landmarks,
+            # not the whole history.
+            assert sess.n_landmarks <= 3 * n_slots
+
+    res = sess.solve(ba_iterations=6)
+    assert res.keyframe_indices == list(range(12))
+    assert res.poses_r.shape == (12, 3, 3)
+    assert res.mean_reprojection_error < 1.5, res.mean_reprojection_error
+    positions = np.stack(
+        [-r.T @ t for r, t in zip(res.poses_r, res.poses_t)]
+    )
+    dx = np.diff(positions[:, 0])
+    assert np.all(dx > 0), positions[:, 0]
+    # No wild scale jump at the compaction seams.
+    med = np.median(dx)
+    assert np.all(dx > med / 4) and np.all(dx < med * 4), dx
+
+
+def test_compact_noop_when_window_small():
+    sess, frames = _translating_session(3)
+    for f in frames:
+        sess.process_frame(f)
+    before = len(sess.obs_uv)
+    sess.compact(keep_last=8)
+    assert len(sess.obs_uv) == before
+    assert sess.anchor_r is None
+
+
+def test_compact_checkpoint_roundtrip(tmp_path):
+    """Compaction state (frozen prefix, anchors, landmark memory)
+    survives checkpoint/resume bit-identically."""
+    from tpuflow.vo import checkpoint
+    from tpuflow.vo.pipeline import OdometrySession
+
+    sess, frames = _translating_session(8)
+    for f in frames[:6]:
+        sess.process_frame(f)
+    sess.compact(keep_last=3, ba_iterations=5)
+    ckpt = tmp_path / "vo_compact_ckpt"
+    checkpoint.save(sess, str(ckpt))
+    resumed = checkpoint.load(str(ckpt))
+    assert resumed.frozen_kf == sess.frozen_kf
+    np.testing.assert_array_equal(resumed.frozen_r, sess.frozen_r)
+    np.testing.assert_array_equal(resumed.anchor_t, sess.anchor_t)
+    np.testing.assert_array_equal(resumed.lm_xyz, sess.lm_xyz)
+
+    for f in frames[6:]:
+        sess.process_frame(f)
+        resumed.process_frame(f)
+    a = sess.solve(ba_iterations=5)
+    b = resumed.solve(ba_iterations=5)
+    np.testing.assert_array_equal(a.poses_t, b.poses_t)
+    assert a.keyframe_indices == b.keyframe_indices
+
+
+# ---------------------------------------------------------------------------
+# Loop closure (tpuflow.vo.loop_closure)
+# ---------------------------------------------------------------------------
+
+
+def test_keyframe_descriptor_matching():
+    """Same place under gain/offset changes matches; different place
+    does not."""
+    from tpuflow.eval import patterns
+    from tpuflow.vo import loop_closure as lc
+
+    base = patterns.load_base_texture(480, 120).astype(np.float32)
+    a = lc.keyframe_descriptor(base[:, :160])
+    a2 = lc.keyframe_descriptor(base[:, :160] * 1.3 + 20.0)  # exposure change
+    b = lc.keyframe_descriptor(base[:, 300:460])
+    assert float(a @ a2) > 0.999
+    assert float(a @ b) < 0.8
+    assert abs(float(np.linalg.norm(a)) - 1.0) < 1e-5
+
+
+def test_detect_loops_separation_guard():
+    from tpuflow.vo import loop_closure as lc
+
+    rng_ = np.random.default_rng(0)
+    d = rng_.normal(size=(8, 64)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d[6] = d[1]  # revisit: keyframe 6 looks like keyframe 1
+    d[3] = d[2]  # too close (separation 1): must be ignored
+    pairs = lc.detect_loops(d, min_separation=4, threshold=0.99)
+    assert (1, 6) in [(i, j) for i, j, _ in pairs]
+    assert all(j - i >= 4 for i, j, _ in pairs)
+
+
+def test_chunked_odometry_loop_closure_cancels_drift():
+    """Out-and-back pan returning exactly to the start: the loop edge
+    between the first and last keyframes pulls the final pose back onto
+    the first one, beating the open-loop (no-closure) drift."""
+    from tpuflow.eval import patterns
+    from tpuflow.vo.pipeline import run_odometry_chunked
+
+    base = patterns.load_base_texture(480, 120).astype(np.float32)
+    offsets = [3 * i for i in range(8)] + [3 * (14 - i) for i in range(8, 15)]
+    frames = [
+        np.ascontiguousarray(base[:, o : o + 160]) for o in offsets
+    ]
+    intr = (150.0, 150.0, 80.0, 60.0)
+    open_loop = run_odometry_chunked(
+        frames, intr, chunk_size=6, overlap=2, ba_iterations=6
+    )
+    closed = run_odometry_chunked(
+        frames, intr, chunk_size=6, overlap=2, ba_iterations=6,
+        loop_closure=True, loop_min_separation=6,
+    )
+
+    def end_gap(res):
+        p = np.stack([-r.T @ t for r, t in zip(res.poses_r, res.poses_t)])
+        span = np.abs(p[:, 0]).max()
+        return float(np.linalg.norm(p[-1] - p[0])), span
+
+    gap_open, span_open = end_gap(open_loop)
+    gap_closed, span_closed = end_gap(closed)
+    assert span_closed > 1e-3  # still a real trajectory, not collapsed
+    # The closure must tie the endpoints together far tighter than the
+    # trajectory scale (and no worse than the open loop).
+    assert gap_closed < 0.1 * span_closed, (gap_closed, span_closed)
+    assert gap_closed <= gap_open + 1e-6, (gap_closed, gap_open)

@@ -82,7 +82,17 @@ class OdometrySession:
         # out the initial seeding.
         self.track_lm: np.ndarray | None = None  # (N,) int32
         self.lm_first_uv: np.ndarray | None = None  # (n_landmarks, 2)
+        self.lm_first_kf: np.ndarray | None = None  # (n_landmarks,) global idx
         self.n_landmarks = 0
+        # Marginalization state (compact()): frozen trajectory prefix,
+        # anchor poses for the kept window, and solved landmark positions
+        # carried across compactions as initialization/scale memory.
+        self.frozen_kf: list[int] = []
+        self.frozen_r = np.zeros((0, 3, 3), np.float32)
+        self.frozen_t = np.zeros((0, 3), np.float32)
+        self.anchor_r: np.ndarray | None = None  # (K_window, 3, 3)
+        self.anchor_t: np.ndarray | None = None  # (K_window, 3)
+        self.lm_xyz: np.ndarray | None = None    # (n_landmarks_kept, 3)
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -100,6 +110,7 @@ class OdometrySession:
         n = int(self._tracks.xy.shape[0])
         self.track_lm = np.arange(n, dtype=np.int32)
         self.lm_first_uv = np.asarray(self._tracks.xy, np.float32).copy()
+        self.lm_first_kf = np.zeros(n, np.int32)
         self.n_landmarks = n
         self._record()
 
@@ -176,6 +187,10 @@ class OdometrySession:
         self.lm_first_uv = np.concatenate(
             [self.lm_first_uv, fresh_xy[good]], axis=0
         )
+        self.lm_first_kf = np.concatenate(
+            [self.lm_first_kf,
+             np.full(n_new, self.frame_index, np.int32)]
+        )
 
     # -- solve -------------------------------------------------------------
 
@@ -200,6 +215,11 @@ class OdometrySession:
         intr = jnp.asarray(self.intrinsics, jnp.float32)
         pr = np.tile(np.eye(3, dtype=np.float32)[None], (k, 1, 1))
         pt = np.zeros((k, 3), np.float32)
+        if self.anchor_r is not None and self.anchor_r.shape[0] > 0:
+            # Post-compaction: the chain continues from the anchored
+            # first window pose (gauge continuity with the frozen prefix).
+            pr[:] = self.anchor_r[0]
+            pt[:] = self.anchor_t[0]
         prev_edge = None  # (lm_ids, points_unit (N,3), rel_r, rel_t, scale)
         scale = 1.0
         for e in range(k - 1):
@@ -302,13 +322,37 @@ class OdometrySession:
         lm_idx = np.concatenate(self.obs_lm)
         valid = np.concatenate(self.obs_valid)
 
-        # Landmarks: back-project each landmark's first observation at
-        # the initialization depth (monocular scale convention; all
-        # keyframe poses initialize at identity, so the convention is
-        # consistent for landmarks spawned at later keyframes too).
+        # Initial poses: essential chain > compaction anchors > identity.
+        if essential_init and k >= 2:
+            pr0, pt0 = self._essential_initial_poses()
+        elif self.anchor_r is not None:
+            na = self.anchor_r.shape[0]
+            pr0 = np.tile(np.eye(3, dtype=np.float32)[None], (k, 1, 1))
+            pt0 = np.zeros((k, 3), np.float32)
+            pr0[: min(na, k)] = self.anchor_r[:k]
+            pt0[: min(na, k)] = self.anchor_t[:k]
+            # Keyframes recorded after the last compact(): start at the
+            # last anchored pose (better than identity; BA refines).
+            for c in range(min(na, k), k):
+                pr0[c] = pr0[c - 1]
+                pt0[c] = pt0[c - 1]
+        else:
+            pr0 = np.tile(np.eye(3, dtype=np.float32)[None], (k, 1, 1))
+            pt0 = np.zeros((k, 3), np.float32)
+
+        # Initial landmarks: back-project each landmark's first
+        # observation at the initialization depth *through the initial
+        # pose of its spawning keyframe* (monocular scale convention;
+        # reduces to the flat identity-frame back-projection when all
+        # poses initialize at identity). Landmarks carried through
+        # compact() instead reuse their previously solved positions.
         first = self.lm_first_uv
         n_lm = self.n_landmarks
-        landmarks = np.stack(
+        kf_ord = {g: i for i, g in enumerate(self.keyframes)}
+        spawn_ord = np.asarray(
+            [kf_ord.get(int(g), 0) for g in self.lm_first_kf], np.int32
+        )
+        ray = np.stack(
             [
                 (first[:, 0] - cx) / fx * self.init_depth,
                 (first[:, 1] - cy) / fy * self.init_depth,
@@ -316,13 +360,18 @@ class OdometrySession:
             ],
             axis=1,
         ).astype(np.float32)
+        rs = pr0[spawn_ord]                       # (M, 3, 3)
+        ts = pt0[spawn_ord]                       # (M, 3)
+        landmarks = np.einsum("mij,mi->mj", rs, ray - ts).astype(np.float32)
+        if self.lm_xyz is not None and self.lm_xyz.shape[0] > 0:
+            nk = min(self.lm_xyz.shape[0], n_lm)
+            landmarks[:nk] = self.lm_xyz[:nk]
 
+        init_r = jnp.asarray(pr0)
+        init_t = jnp.asarray(pt0)
         if essential_init and k >= 2:
             from tpuflow.vo import epipolar
 
-            pr0, pt0 = self._essential_initial_poses()
-            init_r = jnp.asarray(pr0)
-            init_t = jnp.asarray(pt0)
             lm0 = epipolar.triangulate_landmarks(
                 init_r, init_t,
                 jnp.asarray(uv, jnp.float32), jnp.asarray(cam),
@@ -332,8 +381,6 @@ class OdometrySession:
                 fallback=jnp.asarray(landmarks),
             )
         else:
-            init_r = jnp.tile(jnp.eye(3)[None], (k, 1, 1))
-            init_t = jnp.zeros((k, 3))
             lm0 = jnp.asarray(landmarks)
 
         problem = ba.BAProblem(
@@ -348,6 +395,15 @@ class OdometrySession:
         )
         if window is not None and k > window:
             fixed = tuple(range(k - window))  # includes camera 0
+        elif (
+            self.anchor_r is not None
+            and self.anchor_r.shape[0] >= 2
+            and k >= 2
+        ):
+            # Post-compaction gauge: the anchored first two window poses
+            # pin the full 7-DOF monocular gauge (pose + scale), keeping
+            # the frozen prefix and the refined window in one frame.
+            fixed = (0, 1)
         else:
             fixed = (0,)
         solved = ba.solve(
@@ -358,13 +414,78 @@ class OdometrySession:
         mean_err = float(np.asarray(err)[alive].mean()) if alive.any() else 0.0
 
         return OdometryResult(
-            poses_r=np.asarray(solved.poses_r),
-            poses_t=np.asarray(solved.poses_t),
+            poses_r=np.concatenate(
+                [self.frozen_r, np.asarray(solved.poses_r)]
+            ),
+            poses_t=np.concatenate(
+                [self.frozen_t, np.asarray(solved.poses_t)]
+            ),
             landmarks=np.asarray(solved.landmarks),
-            keyframe_indices=list(self.keyframes),
+            keyframe_indices=self.frozen_kf + list(self.keyframes),
             track_count=int(np.asarray(self._tracks.alive).sum()),
             mean_reprojection_error=mean_err,
         )
+
+    def compact(
+        self,
+        keep_last: int,
+        ba_iterations: int = 8,
+        essential_init: bool = False,
+    ) -> None:
+        """Marginalize keyframes older than the last ``keep_last``.
+
+        Bounded-memory sliding-window sessions (SURVEY.md §5 has no
+        reference counterpart — this is back-end machinery): solve BA
+        over the current window once, then (1) freeze the solved poses of
+        the keyframes leaving the window into the trajectory prefix,
+        (2) drop their observation records, (3) remap landmark ids so
+        only window-visible + live-track landmarks remain (the memory
+        bound), and (4) anchor the kept poses and carry the solved
+        landmark positions as the next solve's initialization and
+        gauge/scale memory. This is marginalization by fixation (drop +
+        anchor, the DSO-style approximation), not a dense Schur prior:
+        correlations between dropped and kept states are approximated by
+        pinning the first two kept poses.
+        """
+        k = len(self.keyframes)
+        if k <= keep_last:
+            return
+        res = self.solve(
+            ba_iterations=ba_iterations, essential_init=essential_init
+        )
+        nf = len(self.frozen_kf)
+        win_r = res.poses_r[nf:]
+        win_t = res.poses_t[nf:]
+        ndrop = k - keep_last
+
+        self.frozen_kf += self.keyframes[:ndrop]
+        self.frozen_r = np.concatenate([self.frozen_r, win_r[:ndrop]])
+        self.frozen_t = np.concatenate([self.frozen_t, win_t[:ndrop]])
+        self.keyframes = self.keyframes[ndrop:]
+        self.obs_uv = self.obs_uv[ndrop:]
+        self.obs_lm = self.obs_lm[ndrop:]
+        self.obs_valid = self.obs_valid[ndrop:]
+        self.anchor_r = win_r[ndrop:].copy()
+        self.anchor_t = win_t[ndrop:].copy()
+
+        # Landmark compaction: keep ids observed (validly) in the window
+        # or carried by a live track slot; remap to dense ids.
+        used = [lm[v] for lm, v in zip(self.obs_lm, self.obs_valid)]
+        alive = np.asarray(self._tracks.alive)
+        used.append(self.track_lm[alive])
+        kept = np.unique(np.concatenate(used)).astype(np.int32)
+        old2new = np.full(self.n_landmarks, -1, np.int32)
+        old2new[kept] = np.arange(len(kept), dtype=np.int32)
+        for i in range(len(self.obs_lm)):
+            m = old2new[self.obs_lm[i]]
+            self.obs_valid[i] = self.obs_valid[i] & (m >= 0)
+            self.obs_lm[i] = np.where(m >= 0, m, 0).astype(np.int32)
+        tm = old2new[self.track_lm]
+        self.track_lm = np.where(tm >= 0, tm, 0).astype(np.int32)
+        self.lm_first_uv = self.lm_first_uv[kept]
+        self.lm_first_kf = self.lm_first_kf[kept]
+        self.lm_xyz = res.landmarks[kept].astype(np.float32)
+        self.n_landmarks = len(kept)
 
     # -- checkpointable state ---------------------------------------------
 
@@ -386,7 +507,24 @@ class OdometrySession:
             "tracks_alive": np.asarray(t.alive, bool),
             "track_lm": np.asarray(self.track_lm, np.int32),
             "lm_first_uv": np.asarray(self.lm_first_uv, np.float32),
+            "lm_first_kf": np.asarray(self.lm_first_kf, np.int32),
             "n_landmarks": np.int64(self.n_landmarks),
+            # Marginalization state (zero-size arrays when unset).
+            "frozen_kf": np.asarray(self.frozen_kf, np.int64),
+            "frozen_r": self.frozen_r,
+            "frozen_t": self.frozen_t,
+            "anchor_r": (
+                np.zeros((0, 3, 3), np.float32)
+                if self.anchor_r is None else self.anchor_r
+            ),
+            "anchor_t": (
+                np.zeros((0, 3), np.float32)
+                if self.anchor_t is None else self.anchor_t
+            ),
+            "lm_xyz": (
+                np.zeros((0, 3), np.float32)
+                if self.lm_xyz is None else self.lm_xyz
+            ),
         }
 
     def meta_dict(self) -> dict:
@@ -427,7 +565,30 @@ class OdometrySession:
         ]
         sess.track_lm = np.asarray(state["track_lm"], np.int32)
         sess.lm_first_uv = np.asarray(state["lm_first_uv"], np.float32)
+        sess.lm_first_kf = np.asarray(
+            state.get("lm_first_kf", np.zeros(len(sess.lm_first_uv))),
+            np.int32,
+        )
         sess.n_landmarks = int(state["n_landmarks"])
+        sess.frozen_kf = [
+            int(x) for x in np.asarray(state.get("frozen_kf", []))
+        ]
+        sess.frozen_r = np.asarray(
+            state.get("frozen_r", np.zeros((0, 3, 3))), np.float32
+        )
+        sess.frozen_t = np.asarray(
+            state.get("frozen_t", np.zeros((0, 3))), np.float32
+        )
+        anchor_r = np.asarray(
+            state.get("anchor_r", np.zeros((0, 3, 3))), np.float32
+        )
+        anchor_t = np.asarray(
+            state.get("anchor_t", np.zeros((0, 3))), np.float32
+        )
+        sess.anchor_r = anchor_r if anchor_r.shape[0] else None
+        sess.anchor_t = anchor_t if anchor_t.shape[0] else None
+        lm_xyz = np.asarray(state.get("lm_xyz", np.zeros((0, 3))), np.float32)
+        sess.lm_xyz = lm_xyz if lm_xyz.shape[0] else None
         sess._prev_frame = np.asarray(state["prev_frame"], np.float32)
         sess._tracks = tracking.Tracks(
             xy=jnp.asarray(state["tracks_xy"], jnp.float32),
@@ -474,6 +635,10 @@ def run_odometry_chunked(
     ba_iterations: int = 8,
     pg_iterations: int = 15,
     backend: str = "jnp",
+    loop_closure: bool = False,
+    loop_threshold: float = 0.95,
+    loop_min_separation: int = 4,
+    loop_weight: float = 5.0,
 ) -> "OdometryResult":
     """Local-BA + global pose-graph odometry (the classic SLAM split).
 
@@ -489,9 +654,20 @@ def run_odometry_chunked(
 
     ``overlap`` must be >= 2 so consecutive chunks share one relative
     pose for scale chaining.
+
+    ``loop_closure``: detect appearance-based revisits
+    (tpuflow.vo.loop_closure thumbnail descriptors, cosine >=
+    ``loop_threshold``, at least ``loop_min_separation`` keyframes
+    apart), measure each pair's relative pose from dense flow +
+    essential decomposition, and add the edges (information scale
+    ``loop_weight``) to the pose graph — cancelling odometry drift on
+    revisits.
     """
+    import jax
     import jax.numpy as jnp
 
+    from tpuflow.flow import lucas_kanade_pyramidal
+    from tpuflow.vo import loop_closure as lc
     from tpuflow.vo import pose_graph, se3
 
     if overlap < 2:
@@ -543,6 +719,32 @@ def run_odometry_chunked(
     nodes = sorted({i for ij in edges for i in ij})
     idx = {g: k for k, g in enumerate(nodes)}
     k = len(nodes)
+
+    # Loop closures: appearance retrieval over keyframe thumbnails, then
+    # a measured relative-pose edge per accepted revisit pair.
+    loop_edges: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+    if loop_closure and k > loop_min_separation:
+        descs = np.stack(
+            [lc.keyframe_descriptor(frames[g]) for g in nodes]
+        )
+        pairs = lc.detect_loops(
+            descs,
+            min_separation=loop_min_separation,
+            threshold=loop_threshold,
+        )
+        flow_fn = jax.jit(
+            lambda p, c: lucas_kanade_pyramidal(p, c, backend=backend)
+        )
+        for i, j, _sim in pairs:
+            gi, gj = nodes[i], nodes[j]
+            if (gi, gj) in edges:
+                continue
+            measured = lc.loop_edge(
+                frames[gi], frames[gj], intrinsics, flow_fn,
+                depth=init_depth, grid_step=grid_step,
+            )
+            if measured is not None:
+                loop_edges[(gi, gj)] = (measured[0], measured[1])
     pr = np.tile(np.eye(3, dtype=np.float32)[None], (k, 1, 1))
     pt = np.zeros((k, 3), np.float32)
     for (gi, gj), (rr, tt) in sorted(edges.items()):
@@ -554,10 +756,18 @@ def run_odometry_chunked(
         pr[j] = np.asarray(rj)
         pt[j] = np.asarray(tj)
 
-    ei = np.asarray([idx[a] for (a, _b) in edges], np.int32)
-    ej = np.asarray([idx[b] for (_a, b) in edges], np.int32)
-    er = np.stack([e[0] for e in edges.values()])
-    et = np.stack([e[1] for e in edges.values()])
+    all_edges = dict(edges)
+    all_edges.update(loop_edges)
+    weights = np.concatenate(
+        [
+            np.ones(len(edges), np.float32),
+            np.full(len(loop_edges), loop_weight, np.float32),
+        ]
+    )
+    ei = np.asarray([idx[a] for (a, _b) in all_edges], np.int32)
+    ej = np.asarray([idx[b] for (_a, b) in all_edges], np.int32)
+    er = np.stack([e[0] for e in all_edges.values()])
+    et = np.stack([e[1] for e in all_edges.values()])
     g = pose_graph.PoseGraph(
         poses_r=jnp.asarray(pr),
         poses_t=jnp.asarray(pt),
@@ -565,8 +775,8 @@ def run_odometry_chunked(
         edge_j=jnp.asarray(ej),
         edge_r=jnp.asarray(er),
         edge_t=jnp.asarray(et),
-        edge_valid=jnp.ones(len(edges), bool),
-        edge_weight=jnp.ones(len(edges), jnp.float32),
+        edge_valid=jnp.ones(len(all_edges), bool),
+        edge_weight=jnp.asarray(weights),
     )
     solved = pose_graph.solve(g, iterations=pg_iterations)
     resid = float(
