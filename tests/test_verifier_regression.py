@@ -165,3 +165,36 @@ def test_update_baseline_roundtrip(tmp_path):
     assert verifier.compare_against_baseline(
         worse, path, threshold_percent=50.0, verbose=False
     )
+
+
+def test_dense_gt_verifier_column(suite_dir):
+    """--dense-gt adds per-mode dense metrics; for pure translation they
+    coincide with the scalar-GT metrics, for rotation they score the
+    actual spatially-varying field (finite, and distinct from scalar)."""
+    from tpuflow.eval import verifier
+
+    results = verifier.run_suite(
+        suite_dir=suite_dir,
+        pattern_names=["translate_medium", "rotate_medium"],
+        verbose=False,
+        dense_gt=True,
+    )
+    by_name = {r["pattern_name"]: r for r in results}
+
+    tm = by_name["translate_medium"]
+    for mode in ("single_scale", "pyramidal"):
+        m = tm[mode]["metrics"]
+        d = tm[mode]["dense_metrics"]
+        for k in ("mae_u", "mae_v", "epe"):
+            assert abs(m[k] - d[k]) < 1e-4, (mode, k, m[k], d[k])
+
+    rm = by_name["rotate_medium"]
+    for mode in ("single_scale", "pyramidal"):
+        d = rm[mode]["dense_metrics"]
+        assert all(np.isfinite(v) for v in d.values())
+        # Dense GT describes the true rotational field; the scalar (0,0)
+        # convention overstates the error away from the center.
+        assert d["epe"] <= rm[mode]["metrics"]["epe"] + 1e-6
+
+    md = verifier.generate_markdown_table(results)
+    assert "Dense Ground Truth" in md

@@ -67,3 +67,40 @@ def compute_all_metrics(u_pred, v_pred, u_true, v_true, mask=None):
         "epe": endpoint_error(u_pred, v_pred, u_true, v_true, mask),
         "aae": angular_error(u_pred, v_pred, u_true, v_true, mask),
     }
+
+
+def compute_all_metrics_dense(u_pred, v_pred, u_true, v_true, mask=None):
+    """Metrics against a dense per-pixel ground-truth field.
+
+    Same formulas as :func:`compute_all_metrics` with (u_true, v_true)
+    as (H, W) arrays (tpuflow.eval.patterns.dense_ground_truth) —
+    the exact spatially-varying field for rotation/zoom/combined
+    patterns, where the suite's scalar ground truth only holds at the
+    frame center. No reference counterpart (the reference scores those
+    patterns on a center crop instead); extra opt-in column, not part of
+    the baseline regression gate.
+    """
+    u, v = _masked(u_pred, v_pred, mask)
+    ut, vt = _masked(u_true, v_true, mask)
+    du = u - ut
+    dv = v - vt
+    epe = np.sqrt(du**2 + dv**2)
+
+    mag_true = np.sqrt(ut**2 + vt**2)
+    mag_pred = np.sqrt(u**2 + v**2)
+    if np.all(mag_true < 1e-6) and np.all(mag_pred < 1e-6):
+        aae = 0.0
+    else:
+        norm_pred = np.sqrt(u**2 + v**2 + 1.0)
+        norm_true = np.sqrt(ut**2 + vt**2 + 1.0)
+        dot = np.clip(
+            (u * ut + v * vt + 1.0) / (norm_pred * norm_true), -1.0, 1.0
+        )
+        aae = float(np.mean(np.rad2deg(np.arccos(dot))))
+    return {
+        "mae_u": float(np.mean(np.abs(du))),
+        "mae_v": float(np.mean(np.abs(dv))),
+        "rmse": float(np.sqrt(np.mean(du**2 + dv**2))),
+        "epe": float(np.mean(epe)),
+        "aae": aae,
+    }

@@ -124,6 +124,43 @@ def apply_motion(frame: np.ndarray, params: MotionParameters) -> np.ndarray:
     return warped.astype(np.uint8)
 
 
+def dense_ground_truth(
+    params: MotionParameters, width: int = 320, height: int = 240
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-pixel analytic ground-truth flow for an affine pattern.
+
+    The suite's scalar (dx, dy) ground truth is only exact for pure
+    translations; rotation/zoom/combined patterns have spatially varying
+    flow (which is why the reference scores them on a center crop,
+    optical_flow_verifier.py:96-138). This computes the exact field:
+    content at source pixel p lands at M(p) in the second frame
+    (cv2.warpAffine maps ``dst(M(p)) = src(p)`` for the forward matrix),
+    so ``flow(p) = M(p) - p`` with the same center-pivot matrix
+    construction as :func:`apply_motion` (getRotationMatrix2D semantics:
+    alpha = s*cos(a), beta = s*sin(a), computed directly in NumPy).
+
+    Returns (u, v, visible): visible marks source pixels whose
+    destination stays inside the frame (content observable in frame 1).
+    """
+    a = np.deg2rad(params.rotation)
+    alpha = params.scale * np.cos(a)
+    beta = params.scale * np.sin(a)
+    cx, cy = width / 2.0, height / 2.0
+    m02 = (1.0 - alpha) * cx - beta * cy + params.dx
+    m12 = beta * cx + (1.0 - alpha) * cy + params.dy
+    x = np.arange(width, dtype=np.float64)[None, :]
+    y = np.arange(height, dtype=np.float64)[:, None]
+    xd = alpha * x + beta * y + m02
+    yd = -beta * x + alpha * y + m12
+    u = (xd - x).astype(np.float32)
+    v = (yd - y).astype(np.float32)
+    visible = (
+        (xd >= 0.0) & (xd <= width - 1.0)
+        & (yd >= 0.0) & (yd <= height - 1.0)
+    )
+    return u, v, visible
+
+
 def generate_test_pattern(
     params: MotionParameters,
     width: int = 320,

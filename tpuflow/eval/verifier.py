@@ -154,9 +154,18 @@ def verify_pattern(
     runners,
     pyramid_config_name: str = "default",
     verbose: bool = True,
+    dense_gt: bool = False,
 ) -> Dict[str, Any]:
     """Run both implementations on one pattern and score them (reference:
-    optical_flow_verifier.py:211-312)."""
+    optical_flow_verifier.py:211-312).
+
+    ``dense_gt`` adds an extra per-mode ``dense_metrics`` block scored
+    against the exact per-pixel affine flow field
+    (tpuflow.eval.patterns.dense_ground_truth) — meaningful spatial
+    ground truth for rotation/zoom/combined patterns, which the scalar
+    (dx, dy) convention only describes at the frame center. Opt-in; not
+    part of the baseline regression gate.
+    """
     single, pyramidal = runners
     frame_prev = pattern_data["frame_prev"]
     frame_curr = pattern_data["frame_curr"]
@@ -174,6 +183,28 @@ def verify_pattern(
         np.asarray(u_p), np.asarray(v_p), u_true, v_true, mask
     )
 
+    dense_single = dense_pyr = None
+    if dense_gt:
+        from tpuflow.eval.metrics import compute_all_metrics_dense
+
+        h, w = frame_prev.shape
+        mp = patterns_mod.MotionParameters(
+            **{
+                k: motion[k]
+                for k in ("name", "dx", "dy", "rotation", "scale",
+                          "description")
+                if k in motion
+            }
+        )
+        gu, gv, visible = patterns_mod.dense_ground_truth(mp, w, h)
+        dmask = mask & visible
+        dense_single = compute_all_metrics_dense(
+            np.asarray(u_s), np.asarray(v_s), gu, gv, dmask
+        )
+        dense_pyr = compute_all_metrics_dense(
+            np.asarray(u_p), np.asarray(v_p), gu, gv, dmask
+        )
+
     status_single = classify_result(
         metrics_single["mae_u"], metrics_single["mae_v"], pattern_name
     )
@@ -187,16 +218,23 @@ def verify_pattern(
             f"{metrics_pyr['mae_v']:.3f}) epe={metrics_pyr['epe']:.3f} [{status_pyr}]"
         )
 
+    out_single: Dict[str, Any] = {
+        "metrics": metrics_single, "status": status_single,
+    }
+    out_pyr: Dict[str, Any] = {
+        "metrics": metrics_pyr,
+        "status": status_pyr,
+        "config": pyramid_config_name,
+    }
+    if dense_single is not None:
+        out_single["dense_metrics"] = dense_single
+        out_pyr["dense_metrics"] = dense_pyr
     return {
         "pattern_name": pattern_name,
         "ground_truth": {"u": u_true, "v": v_true},
         "num_test_pixels": int(mask.sum()),
-        "single_scale": {"metrics": metrics_single, "status": status_single},
-        "pyramidal": {
-            "metrics": metrics_pyr,
-            "status": status_pyr,
-            "config": pyramid_config_name,
-        },
+        "single_scale": out_single,
+        "pyramidal": out_pyr,
         "flow_fields": {
             "single": (np.asarray(u_s), np.asarray(v_s)),
             "pyramidal": (np.asarray(u_p), np.asarray(v_p)),
@@ -323,6 +361,28 @@ def generate_markdown_table(results: List[Dict[str, Any]]) -> str:
                 f"{m['epe']:5.3f} | {m['aae']:5.2f}° | {r[mode]['status']} |"
             )
         lines.append("")
+
+    if any("dense_metrics" in r["single_scale"] for r in results):
+        lines.append("## Dense Ground Truth (exact per-pixel affine field)\n")
+        lines.append(
+            "| Pattern | Mode | MAE (u) | MAE (v) | RMSE | EPE | AAE |"
+        )
+        lines.append(
+            "|---------|------|---------|---------|------|-----|-----|"
+        )
+        for r in results:
+            for mode, label in (
+                ("single_scale", "single"), ("pyramidal", "pyramidal"),
+            ):
+                m = r[mode].get("dense_metrics")
+                if m is None:
+                    continue
+                lines.append(
+                    f"| {r['pattern_name']:20s} | {label:9s} | "
+                    f"{m['mae_u']:5.3f} | {m['mae_v']:5.3f} | "
+                    f"{m['rmse']:5.3f} | {m['epe']:5.3f} | {m['aae']:5.2f}° |"
+                )
+        lines.append("")
     return "\n".join(lines)
 
 
@@ -348,6 +408,7 @@ def run_suite(
     backend: str = "jnp",
     verbose: bool = True,
     gaussian_weights: bool = False,
+    dense_gt: bool = False,
 ) -> List[Dict[str, Any]]:
     """Run verification over the suite, generating it first if missing."""
     suite_dir = Path(suite_dir) if suite_dir else patterns_mod.DEFAULT_SUITE_DIR
@@ -374,7 +435,10 @@ def run_suite(
     for name in names:
         data = patterns_mod.load_test_pattern(suite_dir / name)
         results.append(
-            verify_pattern(name, data, runners, pyramid_config_name, verbose=verbose)
+            verify_pattern(
+                name, data, runners, pyramid_config_name, verbose=verbose,
+                dense_gt=dense_gt,
+            )
         )
     return results
 
@@ -414,6 +478,12 @@ def main() -> None:
     )
     parser.add_argument("--output-dir", type=str, default="results")
     parser.add_argument("--no-visualizations", action="store_true")
+    parser.add_argument(
+        "--dense-gt", action="store_true",
+        help="add metrics columns against the exact per-pixel affine "
+        "flow field (meaningful spatial ground truth for rotation/zoom/"
+        "combined patterns; extra report section, not gated)",
+    )
     args = parser.parse_args()
 
     file_cfg = apply_config(args.config) if args.config else {}
@@ -433,6 +503,7 @@ def main() -> None:
         pyramid_config_name=args.pyramid_config,
         backend=args.backend,
         gaussian_weights=args.gaussian_weights,
+        dense_gt=args.dense_gt,
     )
 
     out_dir = Path(args.output_dir)

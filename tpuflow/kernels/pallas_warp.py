@@ -49,7 +49,8 @@ def _round_up(x: int, m: int) -> int:
 
 def _warp_kernel(img_hbm, u_ref, v_ref, out_ref, band_sl, sem,
                  *, n_tiles: int, tile_rows: int, height: int, width: int,
-                 wp: int, dpad: int, max_disp: int, clamp_flow: bool):
+                 wp: int, dpad: int, max_disp: int, max_disp_v: int,
+                 clamp_flow: bool):
     th = tile_rows
     nb = wp // 128
     s = pl.program_id(0)
@@ -69,8 +70,11 @@ def _warp_kernel(img_hbm, u_ref, v_ref, out_ref, band_sl, sem,
     if clamp_flow:
         # Per-level RTL-style saturation applied in-kernel (the fused
         # refine driver passes raw carried flow; flow_solver.sv:134-144).
+        # The vertical band may be narrower (max_disp_v): the candidate
+        # loop below is the frame-time hot spot, and vertical motion per
+        # refinement level is usually far below the horizontal budget.
         u = jnp.clip(u, -float(max_disp), float(max_disp))
-        v = jnp.clip(v, -float(max_disp), float(max_disp))
+        v = jnp.clip(v, -float(max_disp_v), float(max_disp_v))
     # Mosaic iota is integer-only; cast to f32 after generation.
     xx_i = jax.lax.broadcasted_iota(jnp.int32, (th, wp), 1)
     yy_i = jax.lax.broadcasted_iota(jnp.int32, (th, wp), 0) + r0
@@ -135,7 +139,7 @@ def _warp_kernel(img_hbm, u_ref, v_ref, out_ref, band_sl, sem,
 
     acc = jnp.zeros((th * nb, 128), jnp.float32)
     zero = jnp.zeros((th * nb, 128), jnp.float32)
-    for dy in range(dpad - max_disp, dpad + max_disp + 2):
+    for dy in range(dpad - max_disp_v, dpad + max_disp_v + 2):
         rows_a = jax.lax.slice(band_a, (dy * nb, 0), ((dy + th) * nb, 128))
         rows_b = jax.lax.slice(band_b, (dy * nb, 0), ((dy + th) * nb, 128))
         g0 = jnp.where(
