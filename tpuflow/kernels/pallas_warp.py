@@ -178,7 +178,8 @@ def _warp_kernel(img_hbm, u_ref, v_ref, out_ref, band_sl, sem,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_disp", "tile_rows", "clamp_flow")
+    jax.jit,
+    static_argnames=("max_disp", "tile_rows", "clamp_flow", "max_disp_v"),
 )
 def _warp_batched(
     image: jax.Array,
@@ -187,8 +188,11 @@ def _warp_batched(
     max_disp: int,
     tile_rows: int | None,
     clamp_flow: bool = False,
+    max_disp_v: int | None = None,
 ) -> jax.Array:
     """(B, H, W) batched banded warp."""
+    if max_disp_v is None:
+        max_disp_v = max_disp
     bsz, h, w = image.shape
     if tile_rows is None:
         # ~60 live (th, w)-sized f32 planes (coords, fractions, block
@@ -199,7 +203,11 @@ def _warp_batched(
     th = min(tile_rows, _round_up(h, 8))
     hp = _round_up(h, th)
     wp = _round_up(w, 128)
-    dpad = _round_up(max_disp + 1, 4)
+    # Vertical band apron sized by the *vertical* budget only: the DMA
+    # slab is (tile + 2*dpad) rows and the candidate loop runs
+    # 2*max_disp_v + 2 gather pairs, so a narrow vertical band shrinks
+    # both the slab traffic and the hot loop.
+    dpad = _round_up(max_disp_v + 1, 4)
 
     # Rows: vertical band apron + grid overhang. Cols: one 128-lane block
     # margin each side for the shifted gather copies.
@@ -217,6 +225,7 @@ def _warp_batched(
         wp=wp,
         dpad=dpad,
         max_disp=max_disp,
+        max_disp_v=max_disp_v,
         clamp_flow=clamp_flow,
     )
     flow_spec = pl.BlockSpec(
@@ -244,7 +253,7 @@ def _warp_batched(
             pltpu.SemaphoreType.DMA(()),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=int((2 * max_disp + 2) * 16 * bsz * h * w),
+            flops=int((2 * max_disp_v + 2) * 16 * bsz * h * w),
             bytes_accessed=int(16 * bsz * h * w),
             transcendentals=0,
         ),
@@ -253,12 +262,17 @@ def _warp_batched(
 
 
 @functools.lru_cache(maxsize=None)
-def _make_warp(max_disp: int, tile_rows: int | None, clamp_flow: bool):
+def _make_warp(
+    max_disp: int,
+    tile_rows: int | None,
+    clamp_flow: bool,
+    max_disp_v: int | None,
+):
     @jax.custom_batching.custom_vmap
     def warp(image, flow_u, flow_v):
         return _warp_batched(
             image[None], flow_u[None], flow_v[None], max_disp, tile_rows,
-            clamp_flow,
+            clamp_flow, max_disp_v,
         )[0]
 
     @warp.def_vmap
@@ -268,7 +282,12 @@ def _make_warp(max_disp: int, tile_rows: int | None, clamp_flow: bool):
             if not batched:
                 a = jnp.broadcast_to(a, (axis_size,) + a.shape)
             args.append(a)
-        return _warp_batched(*args, max_disp, tile_rows, clamp_flow), True
+        return (
+            _warp_batched(
+                *args, max_disp, tile_rows, clamp_flow, max_disp_v
+            ),
+            True,
+        )
 
     return warp
 
@@ -280,20 +299,26 @@ def warp_image_banded(
     max_disp: int = 8,
     tile_rows: int | None = None,
     clamp_flow: bool = False,
+    max_disp_v: int | None = None,
 ) -> jax.Array:
     """Backward bilinear warp, out(x,y) = image(x+u, y+v), OOB -> 0.
 
-    Exact for |u|,|v| <= ``max_disp`` (<= 31); vertical displacements
+    Exact for |u| <= ``max_disp`` and |v| <= ``max_disp_v`` (both <= 31;
+    ``max_disp_v`` defaults to ``max_disp``); vertical displacements
     beyond the band read 0, horizontal ones saturate at the band edge.
-    ``max_disp`` is static; the default mirrors the reference RTL's
-    +-8 px flow clamp (flow_solver.sv:134-144). Accepts (H, W) or
-    (B, H, W); composes with ``jax.vmap``.
+    Both bands are static; the default mirrors the reference RTL's
+    +-8 px flow clamp (flow_solver.sv:134-144). A narrower vertical band
+    shrinks the kernel's candidate-row gather loop (the frame-time hot
+    spot) roughly linearly. Accepts (H, W) or (B, H, W); composes with
+    ``jax.vmap``.
     """
     assert max_disp <= 31, "banded warp supports max_disp <= 31"
+    assert max_disp_v is None or max_disp_v <= 31
     if image.ndim == 3:
         return _warp_batched(
-            image, flow_u, flow_v, max_disp, tile_rows, clamp_flow
+            image, flow_u, flow_v, max_disp, tile_rows, clamp_flow,
+            max_disp_v,
         )
-    return _make_warp(max_disp, tile_rows, clamp_flow)(
+    return _make_warp(max_disp, tile_rows, clamp_flow, max_disp_v)(
         image, flow_u, flow_v
     )

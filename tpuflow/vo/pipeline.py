@@ -494,7 +494,7 @@ class OdometrySession:
         from tpuflow.vo import tracking  # noqa: F401  (Tracks fields below)
 
         t = self._tracks
-        return {
+        state = {
             "frame_index": np.int64(self.frame_index),
             "keyframes": np.asarray(self.keyframes, np.int64),
             "obs_uv": np.stack(self.obs_uv),          # (K, N, 2)
@@ -509,22 +509,21 @@ class OdometrySession:
             "lm_first_uv": np.asarray(self.lm_first_uv, np.float32),
             "lm_first_kf": np.asarray(self.lm_first_kf, np.int32),
             "n_landmarks": np.int64(self.n_landmarks),
-            # Marginalization state (zero-size arrays when unset).
+            # Marginalization state. Keys are OMITTED while unset
+            # (fresh sessions, pre-compact()): Orbax rejects zero-size
+            # arrays, and ``from_state`` defaults every absent key to
+            # the empty/None initial state.
             "frozen_kf": np.asarray(self.frozen_kf, np.int64),
             "frozen_r": self.frozen_r,
             "frozen_t": self.frozen_t,
-            "anchor_r": (
-                np.zeros((0, 3, 3), np.float32)
-                if self.anchor_r is None else self.anchor_r
-            ),
-            "anchor_t": (
-                np.zeros((0, 3), np.float32)
-                if self.anchor_t is None else self.anchor_t
-            ),
-            "lm_xyz": (
-                np.zeros((0, 3), np.float32)
-                if self.lm_xyz is None else self.lm_xyz
-            ),
+            "anchor_r": self.anchor_r,
+            "anchor_t": self.anchor_t,
+            "lm_xyz": self.lm_xyz,
+        }
+        return {
+            k: v
+            for k, v in state.items()
+            if v is not None and (not isinstance(v, np.ndarray) or v.size)
         }
 
     def meta_dict(self) -> dict:
