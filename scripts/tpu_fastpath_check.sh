@@ -1,0 +1,36 @@
+#!/usr/bin/env bash
+# Fast-path (backend="pallas") regression gate — run on a machine with a
+# real TPU attached (the CPU interpret-mode tests in CI cannot execute
+# pallas inside shard_map, and the fast path's accuracy contract is
+# gated against a TPU-captured baseline).
+#
+# Checks (VERDICT r1 items 4 and 7):
+#   1. 13-pattern suite, backend=pallas, vs the committed fast-path
+#      baseline (tpuflow/eval/data/pallas_baseline.json) with the same
+#      10% regression threshold as the parity gate.
+#   2. Single-chip tiled smoke: the shard_map tiled pyramidal fast path
+#      (1x1x1 mesh) matches the single-device pallas path.
+#
+# Analog of the reference's on-board check the CI skips
+# (.github/workflows/verify_optical_flow.yml runs only the Python stack;
+# RTL needs Vivado + hardware — here the TPU is the "board").
+
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/tmp/jaxcache}"
+
+echo "== 1/2 fast-path suite vs committed pallas baseline =="
+timeout 590 python -m tpuflow.eval.verifier \
+    --backend pallas \
+    --compare-baseline \
+    --baseline tpuflow/eval/data/pallas_baseline.json \
+    --output-dir /tmp/tpu_fastpath_results \
+    --no-visualizations
+
+echo "== 2/2 tiled-pallas single-chip smoke =="
+TPUFLOW_REAL_TPU=1 timeout 590 python -m pytest \
+    tests/test_sharding.py::test_tiled_pallas_matches_single_pallas \
+    -q --no-header
+
+echo "TPU fast-path check: OK"

@@ -16,7 +16,11 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# Escape hatch for the real-TPU smoke run (scripts/tpu_fastpath_check.sh):
+# TPUFLOW_REAL_TPU=1 keeps the axon TPU backend so the TPU-only tests
+# (pallas inside shard_map, etc.) actually execute instead of skipping.
+if not os.environ.get("TPUFLOW_REAL_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

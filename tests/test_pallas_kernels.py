@@ -176,6 +176,44 @@ class TestBandedWarp:
             )
         assert np.all(got == 0.0)
 
+    def test_narrow_vertical_band_matches_in_band(self, rng):
+        # max_disp_v < max_disp: exact for |v| <= max_disp_v, and the
+        # smaller candidate loop must not perturb horizontal sampling.
+        from tpuflow.kernels import pallas_warp
+
+        img, u, v = self._pair(rng, umax=7.5, vmax=2.5)
+        ref = np.asarray(
+            jnp_ref.warp_image(jnp.asarray(img), jnp.asarray(u), jnp.asarray(v))
+        )
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(
+                pallas_warp.warp_image_banded(
+                    jnp.asarray(img), jnp.asarray(u), jnp.asarray(v),
+                    max_disp=8, max_disp_v=3,
+                )
+            )
+        np.testing.assert_allclose(got, ref, atol=1e-3)
+
+    def test_narrow_vertical_clamp_saturates(self, rng):
+        # clamp_flow=True + narrow vertical band: |v| beyond max_disp_v
+        # saturates at the vertical band edge (asymmetric RTL clamp).
+        from tpuflow.kernels import pallas_warp
+
+        img = rng.uniform(1, 255, (48, 128)).astype(np.float32)
+        z = np.zeros((48, 128), np.float32)
+        v = np.full((48, 128), 6.0, np.float32)  # beyond max_disp_v=3
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(
+                pallas_warp.warp_image_banded(
+                    jnp.asarray(img), jnp.asarray(z), jnp.asarray(v),
+                    max_disp=8, max_disp_v=3, clamp_flow=True,
+                )
+            )
+        expected = np.asarray(
+            jnp_ref.warp_image(jnp.asarray(img), jnp.asarray(z), jnp.asarray(z + 3.0))
+        )
+        np.testing.assert_allclose(got, expected, atol=1e-3)
+
     def test_zero_flow_is_identity(self, rng):
         from tpuflow.kernels import pallas_warp
 
@@ -319,6 +357,24 @@ class TestFusedRefine:
         # Element 1 is frozen: flow passes through (zeros stay zeros).
         assert np.all(np.asarray(ub[1]) == 0)
 
+    def test_refine_narrow_vertical_clamp(self, rng):
+        # max_disp_v narrows only the vertical carried-flow clamp.
+        from tpuflow.kernels import jnp_ref, pallas_lk
+
+        prev, warped, u, v = self._setup(rng)
+        with pltpu.force_tpu_interpret_mode():
+            u2, v2, _, _ = pallas_lk.lucas_kanade_refine(
+                prev, warped, u, v, jnp.asarray(False), max_disp_v=3.0
+            )
+        ix, iy, it = jnp_ref.compute_gradients(prev, warped)
+        du, dv = jnp_ref.lucas_kanade_from_gradients(ix, iy, it)
+        np.testing.assert_allclose(
+            np.asarray(u2), np.asarray(jnp.clip(u, -8.0, 8.0) + du), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(v2), np.asarray(jnp.clip(v, -3.0, 3.0) + dv), atol=1e-5
+        )
+
     def test_clamp_flow_warp_kwarg(self, rng):
         from tpuflow.kernels import pallas_warp
 
@@ -354,3 +410,33 @@ def test_gaussian_weights_pallas_matches_jnp(rng):
     # And it actually changes the result vs the uniform window.
     uu, _ = lucas_kanade_single_scale(prev, curr, backend="jnp")
     assert np.abs(np.asarray(uu) - np.asarray(uj)).max() > 1e-4
+
+
+def test_pyramidal_narrow_vertical_config(frame_pair):
+    """The narrow_vertical named config stays at accuracy parity with
+    the default fast path on horizontally-dominant motion — the
+    production contract of the narrowed band. Pointwise the fields
+    differ where LK noise exceeds +-3 px vertically (the clamp
+    regularizes untextured-region garbage — measured it slightly
+    *improves* MAE here), so the gate is metric-based like the
+    verifier's, not bit-exact."""
+    from tpuflow.core.config import PYRAMID_CONFIGS
+    from tpuflow.flow import lucas_kanade_pyramidal
+
+    prev, curr = (jnp.asarray(f) for f in frame_pair)  # 2 px horizontal
+    with pltpu.force_tpu_interpret_mode():
+        u_d, v_d = lucas_kanade_pyramidal(
+            prev, curr, config=PYRAMID_CONFIGS["default"], backend="pallas"
+        )
+        u_n, v_n = lucas_kanade_pyramidal(
+            prev, curr, config=PYRAMID_CONFIGS["narrow_vertical"],
+            backend="pallas",
+        )
+    s = np.s_[10:-10, 10:-10]  # translation-category test region
+    mae_u_d = np.abs(np.asarray(u_d)[s] - 2.0).mean()
+    mae_u_n = np.abs(np.asarray(u_n)[s] - 2.0).mean()
+    mae_v_d = np.abs(np.asarray(v_d)[s]).mean()
+    mae_v_n = np.abs(np.asarray(v_n)[s]).mean()
+    # Within the verifier's 10% regression envelope of the full band.
+    assert mae_u_n <= mae_u_d * 1.10
+    assert mae_v_n <= mae_v_d * 1.10

@@ -35,7 +35,21 @@ class PyramidConfig:
     # band, where the fast path matches the parity path exactly. The jnp
     # parity path never clamps (golden-model semantics).
     max_disp: int = 8
+    # Optional narrower *vertical* saturation band for the fast path.
+    # The banded warp kernel's candidate-row gather loop (the frame-time
+    # hot spot at 1080p) runs 2*max_disp_v + 2 gather pairs, so a narrow
+    # vertical band cuts warp time roughly linearly. The warp/refine
+    # kernels saturate carried vertical flow at +-max_disp_v (like the
+    # RTL's clamp, but asymmetric); for horizontally-dominant motion
+    # this clamps only untextured-region LK noise, which measured
+    # *slightly better* suite metrics (the clamp regularizes garbage
+    # vectors). None = max_disp (full parity-band behavior).
+    max_disp_v: int | None = None
     description: str = ""
+
+    @property
+    def max_disp_v_effective(self) -> int:
+        return self.max_disp if self.max_disp_v is None else self.max_disp_v
 
 
 # Named configurations, mirroring verification_config.yaml:78-103.
@@ -55,5 +69,14 @@ PYRAMID_CONFIGS: dict[str, PyramidConfig] = {
     "large_window": PyramidConfig(
         levels=3, window_size=7, iterations=3,
         description="3-level pyramid, 7x7 window",
+    ),
+    # Production fast-path config for horizontally-dominant motion
+    # (vehicle-mounted / scanline cameras): vertical saturation band
+    # narrowed to +-3 px, halving the banded-warp gather loop. Accuracy
+    # impact is confined to patterns with |v| > 3 (see
+    # docs/verification_results_pallas.md narrow-band column).
+    "narrow_vertical": PyramidConfig(
+        levels=3, window_size=5, iterations=3, max_disp_v=3,
+        description="3-level pyramid, vertical flow band narrowed to +-3 px",
     ),
 }

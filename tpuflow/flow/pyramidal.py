@@ -52,7 +52,8 @@ def _refine_level(
             from tpuflow.kernels import pallas_lk, pallas_warp
 
             warped = pallas_warp.warp_image_banded(
-                img_curr, u, v, max_disp=cfg.max_disp, clamp_flow=True
+                img_curr, u, v, max_disp=cfg.max_disp, clamp_flow=True,
+                max_disp_v=cfg.max_disp_v_effective,
             )
             u, v, sdu, sdv = pallas_lk.lucas_kanade_refine(
                 img_prev,
@@ -63,6 +64,7 @@ def _refine_level(
                 window_size=cfg.window_size,
                 det_threshold=cfg.det_threshold,
                 max_disp=float(cfg.max_disp),
+                max_disp_v=float(cfg.max_disp_v_effective),
             )
             now_converged = jnp.logical_and(
                 sdu / n_px < cfg.convergence_threshold,

@@ -200,7 +200,7 @@ def _lk_refine_kernel(prev_hbm, curr_hbm, u_in, v_in, conv_ref,
                       u_out, v_out, sdu_ref, sdv_ref, bufs, sems,
                       *, n_tiles: int, tile_rows: int, height: int,
                       width: int, window: int, det_threshold: float,
-                      max_disp: float):
+                      max_disp: float, max_disp_v: float):
     """One fused refinement accumulate: residual LK on (prev, warped) +
     the coarse-to-fine bookkeeping the XLA driver otherwise pays three
     plane passes for — per-level flow clamp, convergence-latched
@@ -217,7 +217,7 @@ def _lk_refine_kernel(prev_hbm, curr_hbm, u_in, v_in, conv_ref,
     # S8.7 clamp analog, flow_solver.sv:134-144), matching the driver's
     # pre-warp clip; the warp kernel applies the same clip internally.
     u_c = jnp.clip(u_in[0], -max_disp, max_disp)
-    v_c = jnp.clip(v_in[0], -max_disp, max_disp)
+    v_c = jnp.clip(v_in[0], -max_disp_v, max_disp_v)
     # Converged frames stop accumulating (the reference's break; under
     # vmap the while_loop keeps running until every frame converges).
     # conv_ref is the full (bsz, 1) SMEM array (blocks smaller than the
@@ -332,7 +332,9 @@ def _fused_batched(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("window_size", "det_threshold", "max_disp", "tile_rows"),
+    static_argnames=(
+        "window_size", "det_threshold", "max_disp", "tile_rows", "max_disp_v",
+    ),
 )
 def _refine_batched(
     frame_prev: jax.Array,
@@ -344,6 +346,7 @@ def _refine_batched(
     det_threshold: float,
     max_disp: float,
     tile_rows: int | None,
+    max_disp_v: float | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """(B, H, W) batched fused refine accumulate.
 
@@ -351,6 +354,8 @@ def _refine_batched(
     element. ``converged`` is (B,) bool/int — elements already converged
     pass their (clipped) flow through unchanged.
     """
+    if max_disp_v is None:
+        max_disp_v = max_disp
     bsz, h, w = frame_prev.shape
     if tile_rows is None:
         # ~30 live (th, w)-sized f32 planes in VMEM; 14 MB budget with a
@@ -381,6 +386,7 @@ def _refine_batched(
         window=window_size,
         det_threshold=det_threshold,
         max_disp=max_disp,
+        max_disp_v=max_disp_v,
     )
     flow_spec = pl.BlockSpec(
         (1, th, w), lambda s: (s // n_tiles, s % n_tiles, 0),
@@ -429,7 +435,7 @@ def _refine_batched(
 @functools.lru_cache(maxsize=None)
 def _make_refine(
     window_size: int, det_threshold: float, max_disp: float,
-    tile_rows: int | None,
+    tile_rows: int | None, max_disp_v: float | None = None,
 ):
     """custom_vmap wrapper for one static refine configuration."""
 
@@ -437,7 +443,7 @@ def _make_refine(
     def refine(prev, warped, u, v, conv):
         u2, v2, sdu, sdv = _refine_batched(
             prev[None], warped[None], u[None], v[None], conv[None],
-            window_size, det_threshold, max_disp, tile_rows,
+            window_size, det_threshold, max_disp, tile_rows, max_disp_v,
         )
         return u2[0], v2[0], sdu[0], sdv[0]
 
@@ -449,7 +455,8 @@ def _make_refine(
                 a = jnp.broadcast_to(a, (axis_size,) + a.shape)
             args.append(a)
         out = _refine_batched(
-            *args, window_size, det_threshold, max_disp, tile_rows
+            *args, window_size, det_threshold, max_disp, tile_rows,
+            max_disp_v,
         )
         return out, (True, True, True, True)
 
@@ -466,14 +473,17 @@ def lucas_kanade_refine(
     det_threshold: float = 1e-4,
     max_disp: float = 8.0,
     tile_rows: int | None = None,
+    max_disp_v: float | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Fused coarse-to-fine refinement step.
 
     Computes residual LK flow between ``frame_prev`` and the pre-warped
-    current frame, clips the carried flow to ``+-max_disp`` and
-    accumulates the residual in-kernel, returning
-    ``(u_next, v_next, sum|du|, sum|dv|)`` — the whole body of one
-    reference refinement iteration (python/lucas_kanade_pyramidal.py:
+    current frame, clips the carried flow to ``+-max_disp``
+    (vertically ``+-max_disp_v``, defaulting to ``max_disp`` — must
+    match the warp kernel's band so saturation is consistent between
+    sampling and accumulation) and accumulates the residual in-kernel,
+    returning ``(u_next, v_next, sum|du|, sum|dv|)`` — the whole body of
+    one reference refinement iteration (python/lucas_kanade_pyramidal.py:
     201-223) minus the warp, in one pass over HBM. Accepts (H, W) or
     (B, H, W) plus matching scalar/(B,) ``converged``; composes with
     ``jax.vmap``.
@@ -483,11 +493,11 @@ def lucas_kanade_refine(
     if frame_prev.ndim == 3:
         return _refine_batched(
             frame_prev, warped, flow_u, flow_v, converged,
-            window_size, det_threshold, max_disp, tile_rows,
+            window_size, det_threshold, max_disp, tile_rows, max_disp_v,
         )
-    return _make_refine(window_size, det_threshold, max_disp, tile_rows)(
-        frame_prev, warped, flow_u, flow_v, converged
-    )
+    return _make_refine(
+        window_size, det_threshold, max_disp, tile_rows, max_disp_v
+    )(frame_prev, warped, flow_u, flow_v, converged)
 
 
 @functools.lru_cache(maxsize=None)
