@@ -26,6 +26,35 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def _ensure_native_ext() -> None:
+    """Build tpuflow._fastio in-tree if missing so tests/test_native_io.py
+    runs in a fresh checkout instead of silently skipping (the reference
+    ships no native build in CI either, but our CI builds it — keep
+    local pytest at parity with scripts/pre_merge_check.sh)."""
+    import importlib.util
+    import shutil
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    if importlib.util.find_spec("tpuflow._fastio") is not None:
+        return
+    repo = Path(__file__).resolve().parent.parent
+    if not (repo / "setup.py").exists() or shutil.which("g++") is None:
+        return
+    try:
+        subprocess.run(
+            [sys.executable, "setup.py", "build_ext", "--inplace"],
+            cwd=repo, check=True, capture_output=True, timeout=300,
+        )
+    except (subprocess.SubprocessError, OSError) as exc:
+        print(f"WARNING: native extension build failed ({exc}); "
+              "test_native_io will skip", file=sys.stderr)
+
+
+_ensure_native_ext()
+
+
 @pytest.fixture()
 def rng():
     # Function-scoped: every test sees the same deterministic stream

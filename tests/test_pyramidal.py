@@ -92,3 +92,21 @@ def test_named_configs(frame_pair):
     cfg = PyramidConfig(levels=2, window_size=5, iterations=1)
     u, v = lucas_kanade_pyramidal(jnp.asarray(prev), jnp.asarray(curr), config=cfg)
     assert u.shape == prev.shape
+
+
+def test_return_levels(frame_pair):
+    """return_levels yields one refined (u, v) per level, coarsest
+    first, with the last level identical to the plain output (pure-
+    output analog of the reference's per-level snapshots,
+    python/lucas_kanade_pyramidal.py:226)."""
+    prev, curr = (jnp.asarray(f) for f in frame_pair)
+    u, v = lucas_kanade_pyramidal(prev, curr)
+    u2, v2, levels = lucas_kanade_pyramidal(prev, curr, return_levels=True)
+    assert len(levels) == 3
+    h, w = prev.shape
+    assert levels[0][0].shape == (h // 4, w // 4)
+    assert levels[1][0].shape == (h // 2, w // 2)
+    assert levels[2][0].shape == (h, w)
+    np.testing.assert_array_equal(np.asarray(levels[2][0]), np.asarray(u))
+    np.testing.assert_array_equal(np.asarray(u2), np.asarray(u))
+    np.testing.assert_array_equal(np.asarray(v2), np.asarray(v))

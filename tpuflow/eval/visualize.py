@@ -145,6 +145,45 @@ def diagnostic_panel(u, v, output_path, title="Flow Diagnostic",
     plt.close(fig)
 
 
+def save_pyramid_levels(levels, out_dir, flow_range=20.0) -> None:
+    """Per-pyramid-level flow snapshots: one 3-panel figure per level
+    (U / V as signed RdBu_r maps, magnitude as viridis), coarsest first
+    (reference: python/lucas_kanade_pyramidal.py:313-352, which writes
+    these from inside the solve loop; here the solver returns the
+    per-level fields purely via ``return_levels=True``).
+
+    ``levels``: list of (u, v) pairs as returned by
+    ``lucas_kanade_pyramidal(..., return_levels=True)``.
+    """
+    plt = _plt()
+    from matplotlib.colors import Normalize
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    for level, (u, v) in enumerate(levels):
+        u = np.asarray(u)
+        v = np.asarray(v)
+        mag = np.sqrt(u**2 + v**2)
+        fig, axes = plt.subplots(1, 3, figsize=(15, 4))
+        panels = (
+            (u, "RdBu_r", Normalize(vmin=-flow_range, vmax=flow_range),
+             f"Level {level}: U (horizontal)"),
+            (v, "RdBu_r", Normalize(vmin=-flow_range, vmax=flow_range),
+             f"Level {level}: V (vertical)"),
+            (mag, "viridis", Normalize(vmin=0, vmax=flow_range),
+             f"Level {level}: Magnitude"),
+        )
+        for ax, (data, cmap, norm, title) in zip(axes, panels):
+            im = ax.imshow(data, cmap=cmap, norm=norm)
+            ax.set_title(title)
+            ax.axis("off")
+            plt.colorbar(im, ax=ax, label="pixels")
+        plt.tight_layout()
+        plt.savefig(out / f"pyramid_level_{level}.png", dpi=100,
+                    bbox_inches="tight")
+        plt.close(fig)
+
+
 def save_pattern_plots(result: dict, out_dir) -> None:
     """Showcase-pattern plots from a verifier result entry."""
     out = Path(out_dir) / result["pattern_name"]

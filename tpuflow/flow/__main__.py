@@ -134,6 +134,11 @@ def main() -> None:
                         help="write x-y-u-v flow text dump here")
     parser.add_argument("--plot", type=str, default=None,
                         help="write a quiver plot PNG here")
+    parser.add_argument("--per-level-plots", type=str, default=None,
+                        metavar="DIR",
+                        help="with --pyramidal: write per-pyramid-level "
+                        "U/V/magnitude snapshots (reference "
+                        "visualize_pyramid_level analog) into DIR")
     parser.add_argument("--compare", type=str, default=None,
                         help="x-y-u-v dump to diff against (e.g. the "
                         "reference RTL's flow_field_rtl.txt)")
@@ -165,12 +170,19 @@ def main() -> None:
         lucas_kanade_single_scale,
     )
 
+    levels = None
     if args.pyramidal:
         cfg = PYRAMID_CONFIGS[args.pyramid_config]
-        u, v = lucas_kanade_pyramidal(
-            jnp.asarray(f0), jnp.asarray(f1),
-            config=cfg, backend=args.backend,
-        )
+        if args.per_level_plots:
+            u, v, levels = lucas_kanade_pyramidal(
+                jnp.asarray(f0), jnp.asarray(f1),
+                config=cfg, backend=args.backend, return_levels=True,
+            )
+        else:
+            u, v = lucas_kanade_pyramidal(
+                jnp.asarray(f0), jnp.asarray(f1),
+                config=cfg, backend=args.backend,
+            )
         mode = f"pyramidal[{args.pyramid_config}]"
     else:
         u, v = lucas_kanade_single_scale(
@@ -213,6 +225,12 @@ def main() -> None:
 
         visualize.quiver_plot(u, v, f"tpuflow {mode}", args.plot)
         print(f"quiver plot -> {args.plot}")
+
+    if args.per_level_plots and levels is not None:
+        from tpuflow.eval import visualize
+
+        visualize.save_pyramid_levels(levels, args.per_level_plots)
+        print(f"per-level snapshots -> {args.per_level_plots}")
 
 
 if __name__ == "__main__":

@@ -123,13 +123,22 @@ def lucas_kanade_pyramidal(
     config: PyramidConfig | None = None,
     backend: Backend = "jnp",
     rtl_clamp: bool = False,
-) -> tuple[jax.Array, jax.Array]:
+    return_levels: bool = False,
+):
     """Coarse-to-fine dense flow, reference-parity semantics.
 
     Matches reference python/lucas_kanade_pyramidal.py:141-228: Gaussian
     pyramids (sigma = 1/scale smoothing + linspace bilinear resample),
     zero flow at the coarsest level, per level upsample-and-scale then
     ``num_iterations`` x (warp, residual LK, accumulate) with early exit.
+
+    ``return_levels=True`` additionally returns the per-level refined
+    flow fields ``[(u_0, v_0), ...]`` (coarsest first) as pure outputs —
+    the TPU-native form of the reference's per-level diagnostic
+    snapshots (python/lucas_kanade_pyramidal.py:226, 313-352), which
+    side-effect PNG writes from inside the solve loop; here the traced
+    function stays pure and ``tpuflow.eval.visualize
+    .save_pyramid_levels`` renders them.
     """
     cfg = config or PyramidConfig(
         levels=num_levels, window_size=window_size, iterations=num_iterations
@@ -142,6 +151,7 @@ def lucas_kanade_pyramidal(
     flow_u = jnp.zeros((h0, w0), frame_prev.dtype)
     flow_v = jnp.zeros((h0, w0), frame_prev.dtype)
 
+    levels = []
     for level in range(cfg.levels):
         img_prev = pyr_prev[level]
         img_curr = pyr_curr[level]
@@ -150,5 +160,9 @@ def lucas_kanade_pyramidal(
         flow_u, flow_v = _refine_level(
             img_prev, img_curr, flow_u, flow_v, cfg, backend, rtl_clamp
         )
+        if return_levels:
+            levels.append((flow_u, flow_v))
 
+    if return_levels:
+        return flow_u, flow_v, levels
     return flow_u, flow_v
