@@ -21,7 +21,7 @@ cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/tmp/jaxcache}"
 
 echo "== 1/2 fast-path suite vs committed pallas baseline =="
-timeout 590 python -m tpuflow.eval.verifier \
+timeout 1500 python -m tpuflow.eval.verifier \
     --backend pallas \
     --compare-baseline \
     --baseline tpuflow/eval/data/pallas_baseline.json \
@@ -29,7 +29,7 @@ timeout 590 python -m tpuflow.eval.verifier \
     --no-visualizations
 
 echo "== 2/2 tiled-pallas single-chip smoke =="
-TPUFLOW_REAL_TPU=1 timeout 590 python -m pytest \
+TPUFLOW_REAL_TPU=1 timeout 900 python -m pytest \
     tests/test_sharding.py::test_tiled_pallas_matches_single_pallas \
     -q --no-header
 

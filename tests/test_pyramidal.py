@@ -110,3 +110,25 @@ def test_return_levels(frame_pair):
     np.testing.assert_array_equal(np.asarray(levels[2][0]), np.asarray(u))
     np.testing.assert_array_equal(np.asarray(u2), np.asarray(u))
     np.testing.assert_array_equal(np.asarray(v2), np.asarray(v))
+
+
+def test_streaming_step_matches_pairwise(frame_pair):
+    """lucas_kanade_pyramidal_step (pyramid carried between pairs) is
+    bit-identical to independent per-pair calls over a 3-frame stream."""
+    from tpuflow.flow import lucas_kanade_pyramidal_step
+
+    f0, f1 = frame_pair
+    f2 = np.roll(f1, 1, axis=1)
+    frames = [jnp.asarray(f) for f in (f0, f1, f2)]
+    cfg = PyramidConfig()
+
+    carry = jnp_ref.build_gaussian_pyramid(frames[0], cfg.levels, cfg.scale_factor)
+    streamed = []
+    for f in frames[1:]:
+        u, v, carry = lucas_kanade_pyramidal_step(carry, f, cfg)
+        streamed.append((np.asarray(u), np.asarray(v)))
+
+    for (us, vs), (p, c) in zip(streamed, zip(frames, frames[1:])):
+        up, vp = lucas_kanade_pyramidal(p, c)
+        np.testing.assert_array_equal(us, np.asarray(up))
+        np.testing.assert_array_equal(vs, np.asarray(vp))

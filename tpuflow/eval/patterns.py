@@ -46,43 +46,43 @@ class MotionParameters:
 TEST_PATTERNS: Dict[str, MotionParameters] = {
     "translate_small": MotionParameters(
         "translate_small", dx=0.5, dy=0.5,
-        description="Sub-pixel motion (tests fixed-point precision)"),
+        description="Half-pixel shift exercising sub-pixel precision"),
     "translate_medium": MotionParameters(
         "translate_medium", dx=2.0,
-        description="Medium horizontal motion (standard test case)"),
+        description="2 px horizontal shift, the canonical in-window case"),
     "translate_large": MotionParameters(
         "translate_large", dx=15.0,
-        description="Large motion (challenges single-scale L-K)"),
+        description="15 px shift, beyond single-scale LK's window reach"),
     "translate_vertical": MotionParameters(
         "translate_vertical", dy=10.0,
-        description="Vertical motion test"),
+        description="Pure 10 px vertical shift"),
     "translate_diagonal": MotionParameters(
         "translate_diagonal", dx=10.0, dy=10.0,
-        description="Diagonal motion (tests both components)"),
+        description="Equal 10 px shift on both axes"),
     "rotate_small": MotionParameters(
         "rotate_small", rotation=2.0,
-        description="Small rotation (2°) - violates brightness constancy"),
+        description="2 deg rotation, mildly breaking brightness constancy"),
     "rotate_medium": MotionParameters(
         "rotate_medium", rotation=5.0,
-        description="Medium rotation (5°) - tests algorithm limits"),
+        description="5 deg rotation probing the algorithm's envelope"),
     "rotate_large": MotionParameters(
         "rotate_large", rotation=15.0,
-        description="Large rotation (15°) - expected failure for L-K"),
+        description="15 deg rotation, a documented LK failure mode"),
     "zoom_in": MotionParameters(
         "zoom_in", scale=1.1,
-        description="Zoom in (10% expansion)"),
+        description="Radial expansion by 10%"),
     "zoom_out": MotionParameters(
         "zoom_out", scale=0.9,
-        description="Zoom out (10% contraction)"),
+        description="Radial contraction by 10%"),
     "translate_rotate": MotionParameters(
         "translate_rotate", dx=5.0, dy=5.0, rotation=3.0,
-        description="Combined translation + rotation"),
+        description="5 px shift composed with a 3 deg rotation"),
     "no_motion": MotionParameters(
         "no_motion",
-        description="Stationary pattern (sanity check - expect zero flow)"),
+        description="Identical frames; the flow must be exactly zero"),
     "translate_extreme": MotionParameters(
         "translate_extreme", dx=30.0, dy=20.0,
-        description="Extreme motion (far beyond window size)"),
+        description="30/20 px shift, far outside every pyramid budget"),
 }
 
 

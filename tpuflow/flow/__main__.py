@@ -49,10 +49,7 @@ def _run_sequence(d, args) -> None:
     import jax.numpy as jnp
 
     from tpuflow.core.config import PYRAMID_CONFIGS
-    from tpuflow.flow import (
-        lucas_kanade_pyramidal,
-        lucas_kanade_single_scale,
-    )
+    from tpuflow.flow import lucas_kanade_single_scale
     from tpuflow.io.stream import FrameStream
 
     paths = sorted(d.glob(args.glob))
@@ -61,10 +58,17 @@ def _run_sequence(d, args) -> None:
               file=sys.stderr)
         sys.exit(1)
 
+    pyr_carry = None
     if args.pyramidal:
+        # Streaming form: carry each frame's pyramid to the next pair
+        # (bit-identical to the per-pair call; builds one pyramid per
+        # frame instead of two).
+        from tpuflow.flow import lucas_kanade_pyramidal_step
+        from tpuflow.kernels import jnp_ref
+
         cfg = PYRAMID_CONFIGS[args.pyramid_config]
-        fn = jax.jit(lambda p, c: lucas_kanade_pyramidal(
-            p, c, config=cfg, backend=args.backend))
+        step = jax.jit(lambda pyr, c: lucas_kanade_pyramidal_step(
+            pyr, c, cfg, backend=args.backend))
         mode = f"pyramidal[{args.pyramid_config}]"
     else:
         fn = jax.jit(lambda p, c: lucas_kanade_single_scale(
@@ -76,7 +80,14 @@ def _run_sequence(d, args) -> None:
     mags = []  # device scalars — no per-pair host sync, dispatches pipeline
     t0 = None
     for prev, curr in stream.pairs():
-        u, v = fn(jnp.asarray(prev), jnp.asarray(curr))
+        if args.pyramidal:
+            if pyr_carry is None:
+                pyr_carry = jnp_ref.build_gaussian_pyramid(
+                    jnp.asarray(prev), cfg.levels, cfg.scale_factor
+                )
+            u, v, pyr_carry = step(pyr_carry, jnp.asarray(curr))
+        else:
+            u, v = fn(jnp.asarray(prev), jnp.asarray(curr))
         if t0 is None:  # exclude the first pair's compile
             u.block_until_ready()
             t0 = time.perf_counter()

@@ -146,10 +146,33 @@ def lucas_kanade_pyramidal(
 
     pyr_prev = jnp_ref.build_gaussian_pyramid(frame_prev, cfg.levels, cfg.scale_factor)
     pyr_curr = jnp_ref.build_gaussian_pyramid(frame_curr, cfg.levels, cfg.scale_factor)
+    return lucas_kanade_pyramidal_from_pyramids(
+        pyr_prev, pyr_curr, cfg, backend=backend, rtl_clamp=rtl_clamp,
+        return_levels=return_levels,
+    )
 
+
+def lucas_kanade_pyramidal_from_pyramids(
+    pyr_prev,
+    pyr_curr,
+    cfg: PyramidConfig,
+    *,
+    backend: Backend = "jnp",
+    rtl_clamp: bool = False,
+    return_levels: bool = False,
+):
+    """Coarse-to-fine refinement on prebuilt Gaussian pyramids.
+
+    Same semantics as ``lucas_kanade_pyramidal`` given
+    ``jnp_ref.build_gaussian_pyramid`` outputs — split out so streaming
+    callers can reuse each frame's pyramid as ``prev`` for the next pair
+    (``lucas_kanade_pyramidal_step``) instead of rebuilding it, the
+    serving-path analog of the RTL keeping both frame pyramids resident
+    in BRAM across the solve (optical_flow_top_pyramidal.sv:189-293).
+    """
     h0, w0 = pyr_prev[0].shape
-    flow_u = jnp.zeros((h0, w0), frame_prev.dtype)
-    flow_v = jnp.zeros((h0, w0), frame_prev.dtype)
+    flow_u = jnp.zeros((h0, w0), pyr_prev[0].dtype)
+    flow_v = jnp.zeros((h0, w0), pyr_prev[0].dtype)
 
     levels = []
     for level in range(cfg.levels):
@@ -166,3 +189,29 @@ def lucas_kanade_pyramidal(
     if return_levels:
         return flow_u, flow_v, levels
     return flow_u, flow_v
+
+
+def lucas_kanade_pyramidal_step(
+    pyr_prev,
+    frame_curr: jax.Array,
+    cfg: PyramidConfig,
+    *,
+    backend: Backend = "jnp",
+    rtl_clamp: bool = False,
+):
+    """One streaming flow step: ``(pyr_prev, frame) -> (u, v, pyr_curr)``.
+
+    Builds only the NEW frame's pyramid and returns it as the next
+    step's carry, halving pyramid-build work on frame streams while
+    staying bit-identical to per-pair ``lucas_kanade_pyramidal`` (the
+    pyramid of a frame does not depend on which pair it appears in).
+    Seed the carry with ``jnp_ref.build_gaussian_pyramid(first_frame,
+    cfg.levels, cfg.scale_factor)``.
+    """
+    pyr_curr = jnp_ref.build_gaussian_pyramid(
+        frame_curr, cfg.levels, cfg.scale_factor
+    )
+    u, v = lucas_kanade_pyramidal_from_pyramids(
+        pyr_prev, pyr_curr, cfg, backend=backend, rtl_clamp=rtl_clamp
+    )
+    return u, v, pyr_curr

@@ -137,8 +137,24 @@ def _warp_kernel(img_hbm, u_ref, v_ref, out_ref, band_sl, sem,
         band, (0, 128 + shift), (band_h, 128 + shift + wp)
     ).reshape(band_h * nb, 128)
 
-    acc = jnp.zeros((th * nb, 128), jnp.float32)
-    zero = jnp.zeros((th * nb, 128), jnp.float32)
+    # Candidate-row loop (the frame-time hot spot). Each output pixel
+    # takes exactly ONE candidate as its upper bilinear row (dy_r == dy)
+    # and one as its lower (dy_r == dy - 1), so instead of a weighted
+    # accumulate (2 cmp + 2 sel + mul + add per dy) the loop *selects*
+    # into an upper and a lower plane (1 cmp + 2 sel per dy, reusing the
+    # previous iteration's mask for the lower plane) and the vertical
+    # lerp happens once after the loop. Bit-identical to the weighted
+    # form for in-band flow: the same two h values combine in the same
+    # order, and the dropped terms were exact zeros. (Pixels with v just
+    # below the band, which the weighted form gave a partial fy-only
+    # sample, now read 0 — the documented beyond-band contract.)
+    # Measured at 1080p: 0.751 ms vs 0.754 ms for the weighted form —
+    # the VPU ops saved were fully hidden under the gather issue rate,
+    # confirming the kernel is gather-bound at ~4 hardware gathers per
+    # candidate row (see docs/DESIGN.md ceiling analysis).
+    up = jnp.zeros((th * nb, 128), jnp.float32)
+    lo = jnp.zeros((th * nb, 128), jnp.float32)
+    m_prev = None
     for dy in range(dpad - max_disp_v, dpad + max_disp_v + 2):
         rows_a = jax.lax.slice(band_a, (dy * nb, 0), ((dy + th) * nb, 128))
         rows_b = jax.lax.slice(band_b, (dy * nb, 0), ((dy + th) * nb, 128))
@@ -161,12 +177,13 @@ def _warp_kernel(img_hbm, u_ref, v_ref, out_ref, band_sl, sem,
             ),
         )
         h = g0 * fxc_r + g1 * fx_r
-        w_dy = jnp.where(
-            dy_r == dy, fyc_r, jnp.where(dy_r == dy - 1, fy_r, zero)
-        )
-        acc = acc + h * w_dy
+        m = dy_r == dy
+        up = jnp.where(m, h, up)
+        if m_prev is not None:
+            lo = jnp.where(m_prev, h, lo)
+        m_prev = m
 
-    out = acc.reshape(th, wp)
+    out = (up * fyc_r + lo * fy_r).reshape(th, wp)
     inside = (
         (xf >= 0.0)
         & (xf <= float(width - 1))
