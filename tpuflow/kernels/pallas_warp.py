@@ -47,26 +47,21 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _warp_kernel(img_hbm, u_ref, v_ref, out_ref, band_sl, sem,
-                 *, n_tiles: int, tile_rows: int, height: int, width: int,
-                 wp: int, dpad: int, max_disp: int, max_disp_v: int,
-                 clamp_flow: bool):
-    th = tile_rows
+def _warp_block(band, u, v, r0, *, n_rows: int, height: int, width: int,
+                wp: int, dpad: int, max_disp: int, max_disp_v: int,
+                clamp_flow: bool):
+    """Core banded-warp math on one VMEM band slab.
+
+    ``band``: (n_rows + 2*dpad, wp + 256) slab whose local row d holds
+    image row ``r0 + d - dpad`` (columns lane-shifted by 128 each side).
+    ``u``/``v``: (n_rows, wp) flow planes for output rows
+    ``r0 .. r0+n_rows``. Returns the (n_rows, wp) warped plane
+    (OOB -> 0). Shared by the standalone warp kernel and the fused
+    warp+refine kernel (pallas_fused.py)."""
+    th = n_rows
     nb = wp // 128
-    s = pl.program_id(0)
-    b = s // n_tiles
-    i = s % n_tiles
-    r0 = i * th
     band_h = th + 2 * dpad
 
-    cp = pltpu.make_async_copy(
-        img_hbm.at[b, pl.ds(r0, band_h), :], band_sl, sem
-    )
-    cp.start()
-    cp.wait()
-
-    u = u_ref[0]
-    v = v_ref[0]
     if clamp_flow:
         # Per-level RTL-style saturation applied in-kernel (the fused
         # refine driver passes raw carried flow; flow_solver.sv:134-144).
@@ -129,7 +124,6 @@ def _warp_kernel(img_hbm, u_ref, v_ref, out_ref, band_sl, sem,
     fyc_r = 1.0 - fy_r
     dy_r = rs(dy_local)
 
-    band = band_sl[:]
     band_a = jax.lax.slice(
         band, (0, 128 - shift), (band_h, 128 - shift + wp)
     ).reshape(band_h * nb, 128)
@@ -190,7 +184,31 @@ def _warp_kernel(img_hbm, u_ref, v_ref, out_ref, band_sl, sem,
         & (yf >= 0.0)
         & (yf <= float(height - 1))
     )
-    out = jnp.where(inside, out, 0.0)
+    return jnp.where(inside, out, 0.0)
+
+
+def _warp_kernel(img_hbm, u_ref, v_ref, out_ref, band_sl, sem,
+                 *, n_tiles: int, tile_rows: int, height: int, width: int,
+                 wp: int, dpad: int, max_disp: int, max_disp_v: int,
+                 clamp_flow: bool):
+    th = tile_rows
+    s = pl.program_id(0)
+    b = s // n_tiles
+    i = s % n_tiles
+    r0 = i * th
+    band_h = th + 2 * dpad
+
+    cp = pltpu.make_async_copy(
+        img_hbm.at[b, pl.ds(r0, band_h), :], band_sl, sem
+    )
+    cp.start()
+    cp.wait()
+
+    out = _warp_block(
+        band_sl[:], u_ref[0], v_ref[0], r0, n_rows=th, height=height,
+        width=width, wp=wp, dpad=dpad, max_disp=max_disp,
+        max_disp_v=max_disp_v, clamp_flow=clamp_flow,
+    )
     out_ref[0] = jax.lax.slice(out, (0, 0), (th, width))
 
 
