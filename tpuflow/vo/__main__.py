@@ -1,0 +1,188 @@
+"""Visual-odometry CLI — frames in, trajectory out.
+
+The user-facing driver for the VO back-end (BASELINE config 5: keyframe
+pose-graph / Schur-complement BA; no reference counterpart — the
+reference stops at dense flow). Consumes the same frame formats as the
+flow CLI (.bin / $readmemh .mem / .png), runs either the incremental
+``OdometrySession`` (optionally with bounded-memory ``compact()`` and
+Orbax checkpoint/resume) or the chunked local-BA + global pose-graph
+pipeline (optionally with appearance-based loop closure), and exports
+poses in the KITTI odometry format (12 floats per line: the 3x4
+camera-to-world matrix, row-major).
+
+    python -m tpuflow.vo FRAME_DIR --intrinsics 150 150 160 120 \
+        [--chunked --loop-closure] [--compact-window 8] \
+        [--export-poses poses.txt] [--plot traj.png] \
+        [--checkpoint DIR | --resume DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _load_frames(args) -> list[np.ndarray]:
+    from pathlib import Path
+
+    from tpuflow.io import frames as fio
+
+    d = Path(args.frame_dir)
+    paths = sorted(d.glob(args.glob))
+    if len(paths) < 2:
+        print(f"error: need >=2 frames matching {args.glob} in {d}",
+              file=sys.stderr)
+        sys.exit(1)
+    out = []
+    for p in paths:
+        if p.suffix == ".png":
+            from PIL import Image
+
+            out.append(np.asarray(Image.open(p).convert("L"), np.float32))
+        elif p.suffix == ".mem":
+            out.append(fio.load_frame_mem(p, args.width, args.height))
+        else:
+            out.append(fio.load_frame_bin(p, args.width, args.height))
+    return out
+
+
+def _export_kitti(path: str, poses_r: np.ndarray, poses_t: np.ndarray) -> None:
+    """Camera-to-world 3x4 per line (KITTI odometry convention). Our
+    poses are world-to-camera (x_cam = R x_world + t), so invert."""
+    with open(path, "w") as f:
+        for r, t in zip(poses_r, poses_t):
+            c2w_r = r.T
+            c2w_t = -r.T @ t
+            m = np.concatenate([c2w_r, c2w_t[:, None]], axis=1)
+            f.write(" ".join(f"{x:.9e}" for x in m.ravel()) + "\n")
+
+
+def _plot_trajectory(path: str, positions: np.ndarray) -> None:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(8, 8))
+    ax.plot(positions[:, 0], positions[:, 2], "b.-", markersize=3)
+    ax.plot(positions[0, 0], positions[0, 2], "go", label="start")
+    ax.plot(positions[-1, 0], positions[-1, 2], "rs", label="end")
+    ax.set_xlabel("x (arbitrary monocular scale)")
+    ax.set_ylabel("z")
+    ax.set_aspect("equal")
+    ax.set_title("tpuflow VO trajectory (top-down)")
+    ax.legend()
+    plt.tight_layout()
+    plt.savefig(path, dpi=120)
+    plt.close(fig)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(
+        description="tpuflow visual odometry: frame sequence -> "
+        "bundle-adjusted keyframe trajectory"
+    )
+    parser.add_argument("frame_dir", type=str)
+    parser.add_argument("--glob", type=str, default="frame_*.bin")
+    parser.add_argument("--width", type=int, default=320)
+    parser.add_argument("--height", type=int, default=240)
+    parser.add_argument("--intrinsics", type=float, nargs=4,
+                        metavar=("FX", "FY", "CX", "CY"), default=None,
+                        help="pinhole intrinsics; default fx=fy=width/2, "
+                        "principal point at the image center")
+    parser.add_argument("--keyframe-stride", type=int, default=1)
+    parser.add_argument("--grid-step", type=int, default=16)
+    parser.add_argument("--init-depth", type=float, default=5.0)
+    parser.add_argument("--ba-iterations", type=int, default=8)
+    parser.add_argument("--backend", type=str, default="jnp",
+                        choices=["jnp", "pallas"])
+    parser.add_argument("--essential-init", action="store_true",
+                        help="bootstrap poses from the 8-point essential "
+                        "matrix instead of identity+depth prior")
+    parser.add_argument("--chunked", action="store_true",
+                        help="local-BA chunks + global pose-graph fusion "
+                        "(bounded problem size; enables --loop-closure)")
+    parser.add_argument("--chunk-size", type=int, default=6)
+    parser.add_argument("--loop-closure", action="store_true")
+    parser.add_argument("--compact-window", type=int, default=None,
+                        metavar="K",
+                        help="incremental mode: marginalize to the last K "
+                        "keyframes whenever the window exceeds 2K "
+                        "(bounded-memory long sessions)")
+    parser.add_argument("--checkpoint", type=str, default=None,
+                        metavar="DIR", help="save the session after the run")
+    parser.add_argument("--resume", type=str, default=None, metavar="DIR",
+                        help="resume a checkpointed session before "
+                        "processing the frames")
+    parser.add_argument("--export-poses", type=str, default=None,
+                        help="KITTI-format 3x4 pose per keyframe")
+    parser.add_argument("--plot", type=str, default=None,
+                        help="top-down trajectory PNG")
+    args = parser.parse_args()
+
+    frames = _load_frames(args)
+    h, w = frames[0].shape
+    intr = tuple(args.intrinsics) if args.intrinsics else (
+        w / 2.0, w / 2.0, w / 2.0, h / 2.0
+    )
+    print(f"frames: {len(frames)}  size: {w}x{h}  intrinsics: {intr}")
+
+    if args.chunked:
+        from tpuflow.vo.pipeline import run_odometry_chunked
+
+        res = run_odometry_chunked(
+            frames, intr, chunk_size=args.chunk_size,
+            grid_step=args.grid_step, init_depth=args.init_depth,
+            ba_iterations=args.ba_iterations, backend=args.backend,
+            loop_closure=args.loop_closure,
+        )
+    else:
+        from tpuflow.vo import checkpoint
+        from tpuflow.vo.pipeline import OdometrySession
+
+        if args.resume:
+            sess = checkpoint.load(args.resume)
+            print(f"resumed session at frame {sess.frame_index} "
+                  f"({len(sess.keyframes)} window keyframes)")
+        else:
+            sess = OdometrySession(
+                intr, keyframe_stride=args.keyframe_stride,
+                grid_step=args.grid_step, init_depth=args.init_depth,
+                backend=args.backend,
+            )
+        for f in frames:
+            sess.process_frame(f)
+            if (args.compact_window
+                    and len(sess.keyframes) > 2 * args.compact_window):
+                sess.compact(keep_last=args.compact_window,
+                             ba_iterations=args.ba_iterations)
+        res = sess.solve(
+            ba_iterations=args.ba_iterations,
+            essential_init=args.essential_init,
+        )
+        if args.checkpoint:
+            checkpoint.save(sess, args.checkpoint)
+            print(f"session checkpoint -> {args.checkpoint}")
+
+    poses_r = np.asarray(res.poses_r)
+    poses_t = np.asarray(res.poses_t)
+    positions = np.stack([-r.T @ t for r, t in zip(poses_r, poses_t)])
+    dists = np.linalg.norm(np.diff(positions, axis=0), axis=1)
+    print(f"keyframes: {len(res.keyframe_indices)}  "
+          f"mean reprojection error: {res.mean_reprojection_error:.3f} px")
+    print(f"path length: {dists.sum():.3f}  "
+          f"net displacement: {np.linalg.norm(positions[-1] - positions[0]):.3f} "
+          "(monocular scale)")
+
+    if args.export_poses:
+        _export_kitti(args.export_poses, poses_r, poses_t)
+        print(f"poses (KITTI 3x4) -> {args.export_poses}")
+    if args.plot:
+        _plot_trajectory(args.plot, positions)
+        print(f"trajectory plot -> {args.plot}")
+
+
+if __name__ == "__main__":
+    main()
