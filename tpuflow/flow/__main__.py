@@ -52,11 +52,23 @@ def _run_sequence(d, args) -> None:
     from tpuflow.flow import lucas_kanade_single_scale
     from tpuflow.io.stream import FrameStream
 
-    paths = sorted(d.glob(args.glob))
-    if len(paths) < 2:
-        print(f"error: need >=2 frames matching {args.glob} in {d}",
-              file=sys.stderr)
-        sys.exit(1)
+    if d.is_file():
+        # Video container input (host-side cv2 decode at native
+        # resolution; tpuflow.io.video).
+        from tpuflow.io.video import VideoFrameStream
+
+        stream = VideoFrameStream(str(d))
+        n_frames = stream._n_total or "?"
+        src = f"video {d.name}"
+    else:
+        paths = sorted(d.glob(args.glob))
+        if len(paths) < 2:
+            print(f"error: need >=2 frames matching {args.glob} in {d}",
+                  file=sys.stderr)
+            sys.exit(1)
+        stream = FrameStream(paths, width=args.width, height=args.height)
+        n_frames = len(paths)
+        src = f"{len(paths)} files"
 
     pyr_carry = None
     if args.pyramidal:
@@ -75,7 +87,6 @@ def _run_sequence(d, args) -> None:
             p, c, args.window_size, backend=args.backend))
         mode = "single-scale"
 
-    stream = FrameStream(paths, width=args.width, height=args.height)
     n = 0
     mags = []  # device scalars — no per-pair host sync, dispatches pipeline
     t0 = None
@@ -98,13 +109,13 @@ def _run_sequence(d, args) -> None:
 
             fio.save_flow_text(
                 f"{args.export}.{n:04d}", np.asarray(u), np.asarray(v),
-                header=f"pair {n} {paths[n - 1].name}->{paths[n].name}",
+                header=f"pair {n} ({src})",
             )
     mean_mag = float(jnp.stack(mags).sum()) / n  # single end-of-stream sync
     dt = time.perf_counter() - t0
     done = max(n - 1, 1)  # pairs timed after the compile pair
     print(f"mode: {mode}  backend: {args.backend}  "
-          f"frames: {len(paths)}  pairs: {n}")
+          f"frames: {n_frames} ({src})  pairs: {n}")
     print(f"throughput: {done / dt:.1f} pairs/s "
           f"({dt / done * 1e3:.2f} ms/pair, first pair excluded)")
     print(f"mean flow magnitude: {mean_mag:.3f} px")
@@ -118,7 +129,8 @@ def main() -> None:
     parser.add_argument(
         "frame_dir",
         help="directory containing frame_00.bin and frame_01.bin "
-        "(or .mem with --mem)",
+        "(or .mem with --mem), or a video file (mp4/avi/... — "
+        "implies --sequence, decoded at native resolution)",
     )
     parser.add_argument("--mem", action="store_true",
                         help="load $readmemh .mem frames instead of .bin")
@@ -160,7 +172,8 @@ def main() -> None:
     from tpuflow.io import frames as fio
 
     d = Path(args.frame_dir)
-    if args.sequence:
+    if args.sequence or d.is_file():
+        # A file path means a video container — always stream mode.
         _run_sequence(d, args)
         return
     ext = "mem" if args.mem else "bin"

@@ -30,6 +30,16 @@ def _load_frames(args) -> list[np.ndarray]:
     from tpuflow.io import frames as fio
 
     d = Path(args.frame_dir)
+    if d.is_file():
+        # Video container (host-side cv2 decode; tpuflow.io.video).
+        from tpuflow.io.video import VideoFrameStream
+
+        frames = VideoFrameStream(str(d), max_frames=args.max_frames).read_all()
+        if len(frames) < 2:
+            print(f"error: fewer than 2 decodable frames in {d}",
+                  file=sys.stderr)
+            sys.exit(1)
+        return frames
     paths = sorted(d.glob(args.glob))
     if len(paths) < 2:
         print(f"error: need >=2 frames matching {args.glob} in {d}",
@@ -84,8 +94,12 @@ def main() -> None:
         description="tpuflow visual odometry: frame sequence -> "
         "bundle-adjusted keyframe trajectory"
     )
-    parser.add_argument("frame_dir", type=str)
+    parser.add_argument("frame_dir", type=str,
+                        help="frame directory, or a video file "
+                        "(mp4/avi/...)")
     parser.add_argument("--glob", type=str, default="frame_*.bin")
+    parser.add_argument("--max-frames", type=int, default=None,
+                        help="cap on frames ingested from a video file")
     parser.add_argument("--width", type=int, default=320)
     parser.add_argument("--height", type=int, default=240)
     parser.add_argument("--intrinsics", type=float, nargs=4,
