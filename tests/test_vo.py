@@ -142,6 +142,50 @@ def test_pose_graph_converges_to_ground_truth(rng):
     np.testing.assert_allclose(np.asarray(g.poses_t), np.asarray(gt_t), atol=1e-2)
 
 
+def test_constant_velocity_prior_suppresses_outlier_edge():
+    """A corrupted odometry edge kinks the chained trajectory; soft
+    constant-velocity edges (anchored to the smooth initialization)
+    pull the solution back toward uniform motion."""
+    import jax.numpy as jnp
+
+    k = 8
+    step = jnp.asarray([1.0, 0.0, 0.0])
+    eye = jnp.eye(3)
+
+    # Smooth initialization: uniform unit steps along x.
+    init_r = jnp.tile(eye[None], (k, 1, 1))
+    init_t = jnp.stack([-i * step for i in range(k)])  # t = -R p, R=I
+
+    # Odometry measurements: unit steps, except edge (3,4) doubled.
+    ei = jnp.arange(k - 1, dtype=jnp.int32)
+    ej = ei + 1
+    er = jnp.tile(eye[None], (k - 1, 1, 1))
+    et = np.tile(np.asarray(-step)[None], (k - 1, 1))
+    et[3] = np.asarray(-2.0 * step)
+    base = pose_graph.PoseGraph(
+        poses_r=init_r, poses_t=init_t,
+        edge_i=ei, edge_j=ej, edge_r=er, edge_t=jnp.asarray(et),
+        edge_valid=jnp.ones(k - 1, bool),
+        edge_weight=jnp.ones(k - 1),
+    )
+
+    def kink(g):
+        pos = np.stack([
+            -np.asarray(r).T @ np.asarray(t)
+            for r, t in zip(g.poses_r, g.poses_t)
+        ])
+        dx = np.diff(pos[:, 0])
+        return dx.max() - dx.min()  # 0 for perfectly uniform motion
+
+    plain = pose_graph.solve(base, iterations=15)
+    prior = pose_graph.solve(
+        pose_graph.constant_velocity_edges(base, weight=1.0), iterations=15
+    )
+    # Without the prior the corrupted edge is satisfied exactly (kink
+    # ~1 unit step); with it the step spread shrinks substantially.
+    assert kink(prior) < 0.6 * kink(plain), (kink(plain), kink(prior))
+
+
 # ---------------------------------------------------------------------------
 # Bundle adjustment
 # ---------------------------------------------------------------------------

@@ -515,12 +515,34 @@ def main() -> None:
 
     if not args.no_visualizations:
         try:
-            from tpuflow.eval import visualize
+            import jax.numpy as jnp
 
+            from tpuflow.eval import visualize
+            from tpuflow.flow import lucas_kanade_pyramidal
+
+            suite = Path(args.suite_dir) if args.suite_dir \
+                else patterns_mod.DEFAULT_SUITE_DIR
+            cfg = PYRAMID_CONFIGS[args.pyramid_config]
             for r in results:
                 if r["pattern_name"] in ("translate_medium", "rotate_small",
                                          "translate_extreme"):
                     visualize.save_pattern_plots(r, out_dir / "plots")
+                    # Per-pyramid-level snapshots (reference
+                    # visualize_pyramid_level analog — the reference's
+                    # viz pass re-runs the solver too).
+                    data = patterns_mod.load_test_pattern(
+                        suite / r["pattern_name"]
+                    )
+                    _, _, levels = lucas_kanade_pyramidal(
+                        jnp.asarray(data["frame_prev"]),
+                        jnp.asarray(data["frame_curr"]),
+                        config=cfg, backend=args.backend,
+                        return_levels=True,
+                    )
+                    visualize.save_pyramid_levels(
+                        levels,
+                        out_dir / "plots" / r["pattern_name"] / "levels",
+                    )
         except Exception as exc:  # matplotlib optional
             print(f"(visualizations skipped: {exc})")
 

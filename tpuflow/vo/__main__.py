@@ -120,6 +120,10 @@ def main() -> None:
                         "(bounded problem size; enables --loop-closure)")
     parser.add_argument("--chunk-size", type=int, default=6)
     parser.add_argument("--loop-closure", action="store_true")
+    parser.add_argument("--motion-prior", type=float, default=0.0,
+                        metavar="W",
+                        help="chunked mode: constant-velocity prior "
+                        "weight (0 = off; odometry edges weigh 1.0)")
     parser.add_argument("--compact-window", type=int, default=None,
                         metavar="K",
                         help="incremental mode: marginalize to the last K "
@@ -151,6 +155,7 @@ def main() -> None:
             grid_step=args.grid_step, init_depth=args.init_depth,
             ba_iterations=args.ba_iterations, backend=args.backend,
             loop_closure=args.loop_closure,
+            motion_prior_weight=args.motion_prior,
         )
     else:
         from tpuflow.vo import checkpoint

@@ -638,6 +638,7 @@ def run_odometry_chunked(
     loop_threshold: float = 0.95,
     loop_min_separation: int = 4,
     loop_weight: float = 5.0,
+    motion_prior_weight: float = 0.0,
 ) -> "OdometryResult":
     """Local-BA + global pose-graph odometry (the classic SLAM split).
 
@@ -661,6 +662,11 @@ def run_odometry_chunked(
     essential decomposition, and add the edges (information scale
     ``loop_weight``) to the pose graph — cancelling odometry drift on
     revisits.
+
+    ``motion_prior_weight``: if > 0, append soft constant-velocity
+    edges (pose_graph.constant_velocity_edges) that regularize
+    keyframes with weak constraints toward the smooth trajectory
+    predicted by their neighbors.
     """
     import jax
     import jax.numpy as jnp
@@ -777,6 +783,10 @@ def run_odometry_chunked(
         edge_valid=jnp.ones(len(all_edges), bool),
         edge_weight=jnp.asarray(weights),
     )
+    if motion_prior_weight > 0.0:
+        # Soft constant-velocity prior anchored to the odometry-chained
+        # initialization (pose_graph.constant_velocity_edges docstring).
+        g = pose_graph.constant_velocity_edges(g, motion_prior_weight)
     solved = pose_graph.solve(g, iterations=pg_iterations)
     resid = float(
         jnp.abs(pose_graph.residuals(solved)).max()

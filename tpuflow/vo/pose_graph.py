@@ -97,3 +97,44 @@ def solve(g: PoseGraph, iterations: int = 10, damping: float = 1e-6) -> PoseGrap
     for _ in range(iterations):
         g = gauss_newton_step(g, damping=damping)
     return g
+
+
+def constant_velocity_edges(g: PoseGraph, weight: float = 0.25) -> PoseGraph:
+    """Append soft constant-velocity motion-prior edges.
+
+    For every consecutive node triple (k-1, k, k+1), adds an edge
+    (k, k+1) whose measurement is the CURRENT estimate of the previous
+    relative pose ``T_{k-1}^-1 T_k`` — i.e. the prediction "the camera
+    keeps doing what it just did". With a small ``weight`` relative to
+    the odometry/loop edges (default 0.25) this regularizes keyframes
+    whose own constraints are weak (dropped tracks, low texture)
+    without fighting well-constrained ones. The measurement anchors to
+    the estimate at call time, so append these AFTER initializing poses
+    from odometry and BEFORE ``solve()`` (the smoothing prior of
+    classical VO/SLAM pipelines; no reference counterpart — the
+    reference stops at dense flow).
+    """
+    k = g.poses_r.shape[0]
+    if k < 3:
+        return g
+
+    def rel(i):
+        return se3.compose(
+            *se3.inverse(g.poses_r[i], g.poses_t[i]),
+            g.poses_r[i + 1], g.poses_t[i + 1],
+        )
+
+    idx = jnp.arange(k - 2, dtype=jnp.int32)
+    pred_r, pred_t = jax.vmap(rel)(idx)  # rel(k-1 -> k) predicts (k, k+1)
+    return g._replace(
+        edge_i=jnp.concatenate([g.edge_i, idx + 1]),
+        edge_j=jnp.concatenate([g.edge_j, idx + 2]),
+        edge_r=jnp.concatenate([g.edge_r, pred_r]),
+        edge_t=jnp.concatenate([g.edge_t, pred_t]),
+        edge_valid=jnp.concatenate(
+            [g.edge_valid, jnp.ones(k - 2, bool)]
+        ),
+        edge_weight=jnp.concatenate(
+            [g.edge_weight, jnp.full(k - 2, float(weight), jnp.float32)]
+        ),
+    )
