@@ -218,3 +218,38 @@ def test_extended_tile_pallas_lk_geometry(rng):
             dv, np.asarray(v_g)[y0 : y0 + th, x0 : x0 + tw], atol=1e-5,
             err_msg=f"tile ({y0},{x0}) v",
         )
+
+
+def test_tiled_narrow_vertical_matches_single_device(rng):
+    """PyramidConfig.max_disp_v plumbs through the tiled path: tiled
+    narrow-band output == single-device narrow-band (rtl_clamp)
+    semantics, same gate as the full-band test."""
+    from scipy.ndimage import gaussian_filter, shift
+
+    from tpuflow.core.config import PyramidConfig
+    from tpuflow.flow import lucas_kanade_pyramidal
+    from tpuflow.sharding.tiled_pyramidal import tiled_lucas_kanade_pyramidal
+
+    _need(4)
+    mesh = make_flow_mesh(batch=1, ty=2, tx=2)
+    cfg = PyramidConfig(levels=3, window_size=5, iterations=2, max_disp_v=3)
+
+    base = gaussian_filter(
+        rng.uniform(0, 255, (48, 64)).astype(np.float32), 2.0
+    ).astype(np.float32)
+    moved = shift(base, (0.8, 1.5), order=1, mode="constant").astype(np.float32)
+    prev = jnp.asarray(base[None])
+    curr = jnp.asarray(moved[None])
+
+    u_t, v_t = tiled_lucas_kanade_pyramidal(prev, curr, mesh, config=cfg)
+    u_s, v_s = lucas_kanade_pyramidal(
+        prev[0], curr[0], config=cfg, rtl_clamp=True
+    )
+    np.testing.assert_allclose(np.asarray(u_t)[0], np.asarray(u_s), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(v_t)[0], np.asarray(v_s), atol=1e-3)
+    # And the narrow band actually engages somewhere (clip is active).
+    cfg_full = PyramidConfig(levels=3, window_size=5, iterations=2)
+    u_f, v_f = lucas_kanade_pyramidal(
+        prev[0], curr[0], config=cfg_full, rtl_clamp=True
+    )
+    assert np.abs(np.asarray(v_f) - np.asarray(v_s)).max() > 0

@@ -58,7 +58,10 @@ def _run_sequence(d, args) -> None:
         from tpuflow.io.video import VideoFrameStream
 
         stream = VideoFrameStream(str(d))
-        n_frames = stream._n_total or "?"
+        if stream.frame_count is not None and stream.frame_count < 2:
+            print(f"error: {d} has fewer than 2 frames", file=sys.stderr)
+            sys.exit(1)
+        n_frames = stream.frame_count or "?"
         src = f"video {d.name}"
     else:
         paths = sorted(d.glob(args.glob))
@@ -111,6 +114,10 @@ def _run_sequence(d, args) -> None:
                 f"{args.export}.{n:04d}", np.asarray(u), np.asarray(v),
                 header=f"pair {n} ({src})",
             )
+    if n == 0:
+        # E.g. a 1-frame video, or one whose container hides the count.
+        print(f"error: no frame pairs decoded from {d}", file=sys.stderr)
+        sys.exit(1)
     mean_mag = float(jnp.stack(mags).sum()) / n  # single end-of-stream sync
     dt = time.perf_counter() - t0
     done = max(n - 1, 1)  # pairs timed after the compile pair

@@ -73,9 +73,13 @@ def _refine_level(
             converged = jnp.logical_or(converged, now_converged)
             return u, v, i + 1, converged
         if rtl_clamp:
-            # RTL-style saturation (flow_solver.sv:134-144 analog).
+            # RTL-style saturation (flow_solver.sv:134-144 analog);
+            # vertical band may be narrower (PyramidConfig.max_disp_v),
+            # matching the pallas fast path and the tiled path.
             u = jnp.clip(u, -cfg.max_disp, cfg.max_disp)
-            v = jnp.clip(v, -cfg.max_disp, cfg.max_disp)
+            v = jnp.clip(
+                v, -cfg.max_disp_v_effective, cfg.max_disp_v_effective
+            )
         warped = jnp_ref.warp_image(img_curr, u, v)
         du, dv = lucas_kanade_single_scale(
             img_prev,

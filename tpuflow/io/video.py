@@ -55,8 +55,12 @@ class VideoFrameStream:
         cap = cv2.VideoCapture(self.path)
         if not cap.isOpened():
             raise IOError(f"cannot open video: {self.path}")
-        self._n_total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) or None
-        self.fps = float(cap.get(cv2.CAP_PROP_FPS)) or None
+        n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        # Some containers/codecs report 0 or negative counts; expose
+        # None rather than garbage.
+        self.frame_count = n if n > 0 else None
+        fps = float(cap.get(cv2.CAP_PROP_FPS))
+        self.fps = fps if fps > 0 else None
         cap.release()
 
     def __iter__(self) -> Iterator[np.ndarray]:

@@ -56,8 +56,11 @@ def _warp_block(band, u, v, r0, *, n_rows: int, height: int, width: int,
     image row ``r0 + d - dpad`` (columns lane-shifted by 128 each side).
     ``u``/``v``: (n_rows, wp) flow planes for output rows
     ``r0 .. r0+n_rows``. Returns the (n_rows, wp) warped plane
-    (OOB -> 0). Shared by the standalone warp kernel and the fused
-    warp+refine kernel (pallas_fused.py)."""
+    (OOB -> 0). The row-offset/row-count parameterization (vs the
+    kernel wrapper's fixed tile grid) exists so other kernels can embed
+    the warp — used by the warp+refine fusion experiment, which was
+    measured slower and reverted (docs/DESIGN.md §3 ablation table);
+    kept because it also reads cleaner than the fused DMA+math body."""
     th = n_rows
     nb = wp // 128
     band_h = th + 2 * dpad

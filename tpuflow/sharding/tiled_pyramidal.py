@@ -58,7 +58,8 @@ def _warp_tile(img_ext, u, v, halo, gy0, gx0, gh, gw):
     return jnp.where(inside, val, 0.0)
 
 
-def _warp_tile_pallas(curr_ext, u, v, halo, gy0, gx0, gh, gw, max_disp):
+def _warp_tile_pallas(curr_ext, u, v, halo, gy0, gx0, gh, gw, max_disp,
+                      max_disp_v=None):
     """Banded Pallas warp of a halo-extended tile (the fast-path twin of
     :func:`_warp_tile`): flow is zero-padded out to the extended shape,
     the hardware-gather kernel warps the whole extended tile (its local
@@ -70,7 +71,7 @@ def _warp_tile_pallas(curr_ext, u, v, halo, gy0, gx0, gh, gw, max_disp):
     u_e = jnp.pad(u, halo)
     v_e = jnp.pad(v, halo)
     out_ext = pallas_warp.warp_image_banded(
-        curr_ext, u_e, v_e, max_disp=max_disp
+        curr_ext, u_e, v_e, max_disp=max_disp, max_disp_v=max_disp_v
     )
     val = lax.dynamic_slice(out_ext, (halo, halo), (h, w))
     yy = lax.broadcasted_iota(jnp.float32, (h, w), 0)
@@ -154,14 +155,18 @@ def tiled_lucas_kanade_pyramidal(
         def body(state):
             u, v, i, converged = state
             u = jnp.clip(u, -cfg.max_disp, cfg.max_disp)
-            v = jnp.clip(v, -cfg.max_disp, cfg.max_disp)
+            # Vertical band may be narrower (PyramidConfig.max_disp_v):
+            # same clip as the single-device path so tiled == single.
+            v = jnp.clip(
+                v, -cfg.max_disp_v_effective, cfg.max_disp_v_effective
+            )
             curr_ext = halo_mod.exchange_halo_2d(
                 curr_t, warp_halo, ty=ty, tx=tx, boundary="zero"
             )
             if backend == "pallas":
                 warped = _warp_tile_pallas(
                     curr_ext, u, v, warp_halo, gy0, gx0, gh, gw,
-                    cfg.max_disp,
+                    cfg.max_disp, cfg.max_disp_v_effective,
                 )
                 du, dv = _local_lk_pallas(
                     prev_t, warped, gy0, gx0, gh, gw, ty, tx,

@@ -24,7 +24,10 @@ import sys
 import numpy as np
 
 
-def _load_frames(args) -> list[np.ndarray]:
+def _iter_frames(args):
+    """Lazily yield grayscale float32 frames (incremental sessions must
+    not materialize a long clip: with --compact-window the session state
+    is bounded, so frame ingestion has to be too)."""
     from pathlib import Path
 
     from tpuflow.io import frames as fio
@@ -34,28 +37,27 @@ def _load_frames(args) -> list[np.ndarray]:
         # Video container (host-side cv2 decode; tpuflow.io.video).
         from tpuflow.io.video import VideoFrameStream
 
-        frames = VideoFrameStream(str(d), max_frames=args.max_frames).read_all()
-        if len(frames) < 2:
-            print(f"error: fewer than 2 decodable frames in {d}",
-                  file=sys.stderr)
-            sys.exit(1)
-        return frames
+        yield from VideoFrameStream(str(d), max_frames=args.max_frames)
+        return
     paths = sorted(d.glob(args.glob))
     if len(paths) < 2:
         print(f"error: need >=2 frames matching {args.glob} in {d}",
               file=sys.stderr)
         sys.exit(1)
-    out = []
     for p in paths:
         if p.suffix == ".png":
             from PIL import Image
 
-            out.append(np.asarray(Image.open(p).convert("L"), np.float32))
+            yield np.asarray(Image.open(p).convert("L"), np.float32)
         elif p.suffix == ".mem":
-            out.append(fio.load_frame_mem(p, args.width, args.height))
+            yield fio.load_frame_mem(p, args.width, args.height)
         else:
-            out.append(fio.load_frame_bin(p, args.width, args.height))
-    return out
+            yield fio.load_frame_bin(p, args.width, args.height)
+
+
+def _chain_first(first: np.ndarray, rest):
+    yield first
+    yield from rest
 
 
 def _export_kitti(path: str, poses_r: np.ndarray, poses_t: np.ndarray) -> None:
@@ -140,16 +142,47 @@ def main() -> None:
                         help="top-down trajectory PNG")
     args = parser.parse_args()
 
-    frames = _load_frames(args)
-    h, w = frames[0].shape
+    # Mode/flag validation: silently ignoring a mode-incompatible flag
+    # loses user data (e.g. --chunked --checkpoint would never save).
+    if args.chunked:
+        bad = [name for name, val in (
+            ("--checkpoint", args.checkpoint),
+            ("--resume", args.resume),
+            ("--compact-window", args.compact_window),
+            ("--essential-init", args.essential_init or None),
+        ) if val]
+        if bad:
+            print(f"error: {', '.join(bad)} only apply to the "
+                  "incremental (non --chunked) mode", file=sys.stderr)
+            sys.exit(2)
+    elif args.motion_prior:
+        print("error: --motion-prior requires --chunked (it weights "
+              "pose-graph edges; incremental mode has no pose graph)",
+              file=sys.stderr)
+        sys.exit(2)
+
+    frame_iter = iter(_iter_frames(args))
+    try:
+        first = next(frame_iter)
+    except StopIteration:
+        print(f"error: no frames in {args.frame_dir}", file=sys.stderr)
+        sys.exit(1)
+    h, w = first.shape
     intr = tuple(args.intrinsics) if args.intrinsics else (
         w / 2.0, w / 2.0, w / 2.0, h / 2.0
     )
-    print(f"frames: {len(frames)}  size: {w}x{h}  intrinsics: {intr}")
+    print(f"size: {w}x{h}  intrinsics: {intr}")
 
     if args.chunked:
         from tpuflow.vo.pipeline import run_odometry_chunked
 
+        # Chunked mode needs random access across overlapping chunks;
+        # bound ingestion with --max-frames for long clips.
+        frames = [first] + list(frame_iter)
+        if len(frames) < 2:
+            print("error: need >= 2 frames", file=sys.stderr)
+            sys.exit(1)
+        print(f"frames: {len(frames)}")
         res = run_odometry_chunked(
             frames, intr, chunk_size=args.chunk_size,
             grid_step=args.grid_step, init_depth=args.init_depth,
@@ -171,12 +204,15 @@ def main() -> None:
                 grid_step=args.grid_step, init_depth=args.init_depth,
                 backend=args.backend,
             )
-        for f in frames:
+        n = 0
+        for f in _chain_first(first, frame_iter):
             sess.process_frame(f)
+            n += 1
             if (args.compact_window
                     and len(sess.keyframes) > 2 * args.compact_window):
                 sess.compact(keep_last=args.compact_window,
                              ba_iterations=args.ba_iterations)
+        print(f"frames: {n}")
         res = sess.solve(
             ba_iterations=args.ba_iterations,
             essential_init=args.essential_init,
