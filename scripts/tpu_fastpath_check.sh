@@ -20,7 +20,7 @@ cd "$(dirname "$0")/.."
 
 export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/tmp/jaxcache}"
 
-echo "== 1/2 fast-path suite vs committed pallas baseline =="
+echo "== 1/3 fast-path suite vs committed pallas baseline =="
 timeout 1500 python -m tpuflow.eval.verifier \
     --backend pallas \
     --compare-baseline \
@@ -28,7 +28,16 @@ timeout 1500 python -m tpuflow.eval.verifier \
     --output-dir /tmp/tpu_fastpath_results \
     --no-visualizations
 
-echo "== 2/2 tiled-pallas single-chip smoke =="
+echo "== 2/3 narrow-band production config vs its committed baseline =="
+timeout 1500 python -m tpuflow.eval.verifier \
+    --backend pallas \
+    --pyramid-config narrow_vertical \
+    --compare-baseline \
+    --baseline tpuflow/eval/data/pallas_narrow_baseline.json \
+    --output-dir /tmp/tpu_fastpath_narrow \
+    --no-visualizations
+
+echo "== 3/3 tiled-pallas single-chip smoke =="
 TPUFLOW_REAL_TPU=1 timeout 900 python -m pytest \
     tests/test_sharding.py::test_tiled_pallas_matches_single_pallas \
     -q --no-header
