@@ -972,3 +972,81 @@ def test_compact_trajectory_matches_uncompacted():
 
     dev = np.abs(norm(pc) - norm(pu)).max()
     assert dev < 0.15, dev
+
+
+# ---------------------------------------------------------------------------
+# Degenerate-input robustness (SURVEY §5 failure detection/recovery)
+# ---------------------------------------------------------------------------
+
+
+def test_textureless_frames_give_identity_poses():
+    """Uniform frames: the det gate zeroes all flow, tracks never move,
+    and the solve must return finite, ~identity poses instead of NaNs
+    (the reference's untextured-window -> zero-flow contract carried
+    through the whole back-end)."""
+    from tpuflow.vo.pipeline import OdometrySession
+
+    flat = np.full((120, 160), 128.0, np.float32)
+    sess = OdometrySession((100.0, 100.0, 80.0, 60.0), grid_step=16)
+    for _ in range(5):
+        sess.process_frame(flat)
+    res = sess.solve(ba_iterations=5)
+    assert np.all(np.isfinite(res.poses_r))
+    assert np.all(np.isfinite(res.poses_t))
+    assert np.all(np.isfinite(res.landmarks))
+    # No apparent motion => trajectory stays at the origin.
+    pos = np.stack([-r.T @ t for r, t in zip(res.poses_r, res.poses_t)])
+    assert np.abs(pos).max() < 0.15, pos
+
+
+def test_pure_rotation_stays_finite():
+    """Pure in-place rotation: monocular triangulation is degenerate
+    (no baseline), so the quality bar is survival — finite poses and
+    landmarks, no exploding trajectory."""
+    import cv2
+
+    from tpuflow.eval import patterns
+    from tpuflow.vo.pipeline import OdometrySession
+
+    w, h = 240, 120
+    base = patterns.load_base_texture(w, h).astype(np.float32)
+    sess = OdometrySession((150.0, 150.0, w / 2.0, h / 2.0), grid_step=16)
+    for i in range(6):
+        m = cv2.getRotationMatrix2D((w / 2.0, h / 2.0), 0.8 * i, 1.0)
+        frame = cv2.warpAffine(
+            base, m, (w, h), flags=cv2.INTER_LINEAR, borderValue=128
+        ).astype(np.float32)
+        sess.process_frame(frame)
+    res = sess.solve(ba_iterations=6)
+    assert np.all(np.isfinite(res.poses_r))
+    assert np.all(np.isfinite(res.poses_t))
+    pos = np.stack([-r.T @ t for r, t in zip(res.poses_r, res.poses_t)])
+    # In-place rotation: translation stays small relative to the scene
+    # depth prior (5.0).
+    assert np.abs(pos).max() < 2.0, pos
+
+
+def test_violent_motion_culls_tracks_but_survives():
+    """Motion far beyond the trackable band: forward-backward culling
+    kills bad tracks, reseeding refills them, and the session still
+    produces a finite solve."""
+    from scipy.ndimage import shift as nd_shift
+
+    from tpuflow.eval import patterns
+    from tpuflow.vo.pipeline import OdometrySession
+
+    w, h = 240, 120
+    base = patterns.load_base_texture(w, h).astype(np.float32)
+    sess = OdometrySession(
+        (150.0, 150.0, w / 2.0, h / 2.0), grid_step=16,
+        fb_check_threshold=1.0,
+    )
+    for i in range(5):
+        # 25 px/frame — far beyond the +-8 px pyramid budget.
+        sess.process_frame(
+            nd_shift(base, (0.0, -25.0 * i), order=1, mode="nearest")
+        )
+    res = sess.solve(ba_iterations=5)
+    assert np.all(np.isfinite(res.poses_r))
+    assert np.all(np.isfinite(res.poses_t))
+    assert np.all(np.isfinite(res.landmarks))
