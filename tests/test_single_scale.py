@@ -97,3 +97,43 @@ def test_gaussian_weights_flag_changes_solution(small_frame_pair):
     u0, _ = jnp_ref.lucas_kanade_from_gradients(ix, iy, it, gaussian_weights=False)
     u1, _ = jnp_ref.lucas_kanade_from_gradients(ix, iy, it, gaussian_weights=True)
     assert not np.allclose(np.asarray(u0), np.asarray(u1))
+
+
+def test_confidence_output(frame_pair):
+    """return_confidence: |det| plane, zero border, high on texture,
+    identical across backends to f32 rounding."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tpuflow.flow import lucas_kanade_single_scale
+    from tpuflow.kernels import jnp_ref
+
+    prev, curr = (jnp.asarray(f) for f in frame_pair)
+    u, v, conf = lucas_kanade_single_scale(
+        prev, curr, return_confidence=True
+    )
+    # Plain call unchanged.
+    u2, v2 = lucas_kanade_single_scale(prev, curr)
+    np.testing.assert_array_equal(np.asarray(u), np.asarray(u2))
+    conf = np.asarray(conf)
+    assert conf.shape == u2.shape
+    assert np.all(conf >= 0)
+    assert np.all(conf[:2] == 0) and np.all(conf[:, :2] == 0)  # border
+    assert conf.max() > 1e3  # textured frames: strongly conditioned
+    # |det| definition check against recomputed window sums.
+    ix, iy, it = jnp_ref.compute_gradients(prev, curr)
+    from tpuflow.core import ops
+
+    sxx = np.asarray(ops.uniform_window_sum_valid(ix * ix, 5))
+    syy = np.asarray(ops.uniform_window_sum_valid(iy * iy, 5))
+    sxy = np.asarray(ops.uniform_window_sum_valid(ix * iy, 5))
+    det = np.abs(sxx * syy - sxy * sxy)
+    np.testing.assert_allclose(conf[2:-2, 2:-2], det, rtol=1e-5)
+
+    with pltpu.force_tpu_interpret_mode():
+        up, vp, cp = lucas_kanade_single_scale(
+            prev, curr, backend="pallas", return_confidence=True
+        )
+    np.testing.assert_allclose(
+        np.asarray(cp), conf, rtol=1e-4, atol=1e-2
+    )

@@ -27,13 +27,19 @@ def lucas_kanade_single_scale(
     det_threshold: float = 1e-4,
     gaussian_weights: bool = False,
     backend: Backend = "jnp",
-) -> tuple[jax.Array, jax.Array]:
+    return_confidence: bool = False,
+):
     """Dense (u, v) flow between two grayscale float32 frames.
 
     Matches reference python/lucas_kanade_core.py:48-70 semantics: Sobel/8
     gradients on the averaged frame, unweighted ``window_size`` x
     ``window_size`` structure-tensor sums, Cramer solve gated on
     ``|det| > det_threshold``, zero flow on the window border.
+
+    ``return_confidence=True`` adds a per-pixel |det| plane (structure-
+    tensor conditioning — high on texture, zero on the border and flat
+    regions), identical across backends to f32 rounding; useful for
+    track weighting and validity masking downstream.
     """
     if backend == "pallas":
         from tpuflow.kernels import pallas_lk
@@ -44,6 +50,7 @@ def lucas_kanade_single_scale(
             window_size=window_size,
             det_threshold=det_threshold,
             gaussian_weights=gaussian_weights,
+            return_confidence=return_confidence,
         )
     ix, iy, it = jnp_ref.compute_gradients(frame_prev, frame_curr)
     return jnp_ref.lucas_kanade_from_gradients(
@@ -53,4 +60,5 @@ def lucas_kanade_single_scale(
         window_size=window_size,
         det_threshold=det_threshold,
         gaussian_weights=gaussian_weights,
+        return_confidence=return_confidence,
     )

@@ -53,7 +53,8 @@ def lucas_kanade_from_gradients(
     det_threshold: float = 1e-4,
     gaussian_weights: bool = False,
     weight_sigma: float = 1.0,
-) -> tuple[jax.Array, jax.Array]:
+    return_confidence: bool = False,
+):
     """Windowed least-squares flow solve (structure tensor + Cramer).
 
     Twin of reference python/lucas_kanade_core.py:73-135. Flow is zero at
@@ -62,6 +63,11 @@ def lucas_kanade_from_gradients(
     ``gaussian_weights`` enables the Gaussian window weighting the
     reference documents but does not implement (README.md:126-129) —
     off by default to match the committed baselines.
+
+    ``return_confidence`` additionally returns |det| of the structure
+    tensor (zero on the border) — the texture/conditioning measure the
+    det gate already evaluates; downstream consumers (e.g. track
+    weighting) get it for free instead of recomputing window sums.
     """
     half = window_size // 2
 
@@ -89,6 +95,8 @@ def lucas_kanade_from_gradients(
     pad = ((half, half), (half, half))
     u = jnp.pad(u_in, pad)
     v = jnp.pad(v_in, pad)
+    if return_confidence:
+        return u, v, jnp.pad(jnp.abs(det), pad)
     return u, v
 
 

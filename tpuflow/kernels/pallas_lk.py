@@ -93,7 +93,8 @@ def _dma_slabs(prev_hbm, curr_hbm, bufs, sems, *, n_tiles, tile_rows):
 
 def _lk_tile(p, c, *, n_tiles: int, tile_rows: int, height: int,
              width: int, window: int, det_threshold: float,
-             taps: tuple[float, ...] | None = None):
+             taps: tuple[float, ...] | None = None,
+             return_det: bool = False):
     """Core LK math on one (slab_h, wp) slab pair: gradients ->
     structure tensor -> Cramer solve -> interior-masked (u, v) tile.
 
@@ -178,6 +179,12 @@ def _lk_tile(p, c, *, n_tiles: int, tile_rows: int, height: int,
         & (cols >= half)
         & (cols < width - half)
     )
+    if return_det:
+        return (
+            jnp.where(interior, u, 0.0),
+            jnp.where(interior, v, 0.0),
+            jnp.where(interior, jnp.abs(det), 0.0),
+        )
     return jnp.where(interior, u, 0.0), jnp.where(interior, v, 0.0)
 
 
@@ -194,6 +201,25 @@ def _lk_kernel(prev_hbm, curr_hbm, u_ref, v_ref, bufs, sems,
     )
     u_ref[0] = u
     v_ref[0] = v
+
+
+def _lk_conf_kernel(prev_hbm, curr_hbm, u_ref, v_ref, conf_ref, bufs, sems,
+                    *, n_tiles: int, tile_rows: int, height: int,
+                    width: int, window: int, det_threshold: float,
+                    taps: tuple[float, ...] | None = None):
+    """_lk_kernel plus the |det| confidence plane (texture/conditioning
+    measure — free in-kernel, one extra HBM write when requested)."""
+    p, c = _dma_slabs(
+        prev_hbm, curr_hbm, bufs, sems, n_tiles=n_tiles, tile_rows=tile_rows
+    )
+    u, v, conf = _lk_tile(
+        p, c, n_tiles=n_tiles, tile_rows=tile_rows, height=height,
+        width=width, window=window, det_threshold=det_threshold, taps=taps,
+        return_det=True,
+    )
+    u_ref[0] = u
+    v_ref[0] = v
+    conf_ref[0] = conf
 
 
 def _lk_refine_kernel(prev_hbm, curr_hbm, u_in, v_in, conv_ref,
@@ -247,7 +273,7 @@ def _window_taps(window_size: int, weight_sigma: float) -> tuple[float, ...]:
     jax.jit,
     static_argnames=(
         "window_size", "det_threshold", "tile_rows",
-        "gaussian_weights", "weight_sigma",
+        "gaussian_weights", "weight_sigma", "return_confidence",
     ),
 )
 def _fused_batched(
@@ -258,8 +284,9 @@ def _fused_batched(
     tile_rows: int | None,
     gaussian_weights: bool = False,
     weight_sigma: float = 1.0,
-) -> tuple[jax.Array, jax.Array]:
-    """(B, H, W) batched fused LK."""
+    return_confidence: bool = False,
+):
+    """(B, H, W) batched fused LK (+ optional |det| confidence plane)."""
     bsz, h, w = frame_prev.shape
     if tile_rows is None:
         # ~30 live (th, w)-sized f32 planes in VMEM; 14 MB budget with a
@@ -281,7 +308,7 @@ def _fused_batched(
 
     n_tiles = hp // th
     kernel = functools.partial(
-        _lk_kernel,
+        _lk_conf_kernel if return_confidence else _lk_kernel,
         n_tiles=n_tiles,
         tile_rows=th,
         height=h,
@@ -291,43 +318,36 @@ def _fused_batched(
         taps=_window_taps(window_size, weight_sigma) if gaussian_weights
         else None,
     )
-    u, v = pl.pallas_call(
+    n_out = 3 if return_confidence else 2
+    plane_spec = pl.BlockSpec(
+        (1, th, w),
+        lambda s: (s // n_tiles, s % n_tiles, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out = pl.pallas_call(
         kernel,
         grid=(bsz * n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=(
-            pl.BlockSpec(
-                (1, th, w),
-                lambda s: (s // n_tiles, s % n_tiles, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, th, w),
-                lambda s: (s // n_tiles, s % n_tiles, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ),
+        out_specs=(plane_spec,) * n_out,
         out_shape=(
             jax.ShapeDtypeStruct((bsz, hp, w), frame_prev.dtype),
-            jax.ShapeDtypeStruct((bsz, hp, w), frame_prev.dtype),
-        ),
+        ) * n_out,
         scratch_shapes=[
             pltpu.VMEM((2, 2, th + 2 * APRON, wp), frame_prev.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=int(190 * bsz * h * w),
-            bytes_accessed=int(16 * bsz * h * w),
+            bytes_accessed=int((16 + 4 * (n_out - 2)) * bsz * h * w),
             transcendentals=0,
         ),
     )(prev_p, curr_p)
     if hp != h:
-        u = u[:, :h]
-        v = v[:, :h]
-    return u, v
+        out = tuple(o[:, :h] for o in out)
+    return out
 
 
 @functools.partial(
@@ -502,16 +522,17 @@ def lucas_kanade_refine(
 
 @functools.lru_cache(maxsize=None)
 def _make_fused(window_size: int, det_threshold: float, tile_rows: int | None,
-                gaussian_weights: bool = False, weight_sigma: float = 1.0):
+                gaussian_weights: bool = False, weight_sigma: float = 1.0,
+                return_confidence: bool = False):
     """custom_vmap wrapper for one static configuration."""
 
     @jax.custom_batching.custom_vmap
     def fused(prev, curr):
-        u, v = _fused_batched(
+        out = _fused_batched(
             prev[None], curr[None], window_size, det_threshold, tile_rows,
-            gaussian_weights, weight_sigma,
+            gaussian_weights, weight_sigma, return_confidence,
         )
-        return u[0], v[0]
+        return tuple(o[0] for o in out)
 
     @fused.def_vmap
     def _vmap_rule(axis_size, in_batched, prev, curr):  # noqa: ANN001
@@ -522,9 +543,9 @@ def _make_fused(window_size: int, det_threshold: float, tile_rows: int | None,
             curr = jnp.broadcast_to(curr, (axis_size,) + curr.shape)
         out = _fused_batched(
             prev, curr, window_size, det_threshold, tile_rows,
-            gaussian_weights, weight_sigma,
+            gaussian_weights, weight_sigma, return_confidence,
         )
-        return out, (True, True)
+        return out, (True,) * len(out)
 
     return fused
 
@@ -537,12 +558,17 @@ def lucas_kanade_fused(
     tile_rows: int | None = None,
     gaussian_weights: bool = False,
     weight_sigma: float = 1.0,
-) -> tuple[jax.Array, jax.Array]:
+    return_confidence: bool = False,
+):
     """Fused dense LK flow: (u, v) = kernel(prev, curr).
 
     Drop-in twin of the jnp path (tpuflow.flow.single_scale with
     backend="jnp") — SURVEY.md §7 step 4. Accepts (H, W) frames or
     (B, H, W) batches; also composes with ``jax.vmap``.
+
+    ``return_confidence=True`` adds a third output: |det| of the
+    structure tensor (the texture/conditioning measure the solve's gate
+    evaluates anyway) — one extra HBM write, no extra compute.
     """
     if window_size // 2 + 1 > APRON:
         # The slab apron covers Sobel (1) + window half; 3/5/7 windows fit.
@@ -550,8 +576,9 @@ def lucas_kanade_fused(
     if frame_prev.ndim == 3:
         return _fused_batched(
             frame_prev, frame_curr, window_size, det_threshold, tile_rows,
-            gaussian_weights, weight_sigma,
+            gaussian_weights, weight_sigma, return_confidence,
         )
     return _make_fused(
-        window_size, det_threshold, tile_rows, gaussian_weights, weight_sigma
+        window_size, det_threshold, tile_rows, gaussian_weights,
+        weight_sigma, return_confidence,
     )(frame_prev, frame_curr)
