@@ -91,3 +91,26 @@ def test_cli_sequence_streaming(tmp_path, capsys):
 def test_cli_sequence_too_few_frames(tmp_path, capsys):
     with pytest.raises(SystemExit):
         run_cli([str(tmp_path), "--sequence"], capsys)
+
+
+def test_cli_rtl_backend(pattern_dir, tmp_path, capsys):
+    """--backend rtl: the S8.7 integer datapath (the reference RTL
+    sim's flow_field_rtl.txt analog) runs from the same CLI and
+    underestimates like the hardware (README.md:386-395: ~0.76 vs 2.0
+    GT on the 2 px translate test region)."""
+    dump = tmp_path / "flow_field_rtl.txt"
+    out = run_cli(
+        [str(pattern_dir), "--backend", "rtl", "--export", str(dump)],
+        capsys,
+    )
+    assert "S8.7 RTL" in out
+    mean_u = float(out.split("mean_u")[1].split("\n")[0])
+    assert 0.3 < mean_u < 1.6, out  # hardware-style underestimate
+    assert dump.exists()
+
+
+def test_cli_rtl_rejects_pyramidal(pattern_dir, capsys):
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        run_cli([str(pattern_dir), "--backend", "rtl", "--pyramidal"], capsys)

@@ -155,7 +155,12 @@ def main() -> None:
                         help="named config: default/shallow/deep/large_window")
     parser.add_argument("--window-size", type=int, default=5)
     parser.add_argument("--backend", type=str, default="jnp",
-                        choices=["jnp", "pallas"])
+                        choices=["jnp", "pallas", "rtl"],
+                        help="jnp = golden-parity float32; pallas = fused "
+                        "TPU kernels; rtl = S8.7 integer datapath "
+                        "(single-scale only — the reference hardware's "
+                        "numerics, the analog of run_sim.sh's "
+                        "flow_field_rtl.txt output)")
     parser.add_argument("--region", type=int, nargs=4,
                         metavar=("X0", "X1", "Y0", "Y1"),
                         default=[55, 85, 105, 135],
@@ -173,6 +178,13 @@ def main() -> None:
                         help="x-y-u-v dump to diff against (e.g. the "
                         "reference RTL's flow_field_rtl.txt)")
     args = parser.parse_args()
+
+    if args.backend == "rtl" and (args.pyramidal or args.sequence):
+        print("error: --backend rtl is single-scale frame-pair only "
+              "(the reference RTL's integer datapath; its pyramidal FSM "
+              "runs different per-level semantics — see PARITY.md N15)",
+              file=sys.stderr)
+        sys.exit(2)
 
     from pathlib import Path
 
@@ -215,6 +227,17 @@ def main() -> None:
                 config=cfg, backend=args.backend,
             )
         mode = f"pyramidal[{args.pyramid_config}]"
+    elif args.backend == "rtl":
+        # The reference accelerator's S8.7 integer datapath (the RTL
+        # sim's flow_field_rtl.txt producer, run_sim.sh:30-62 analog).
+        from tpuflow.kernels import fixed_point
+
+        u, v = fixed_point.lucas_kanade_s87(
+            jnp.asarray(np.clip(f0, 0, 255).astype(np.uint8)),
+            jnp.asarray(np.clip(f1, 0, 255).astype(np.uint8)),
+            window_size=args.window_size,
+        )
+        mode = "single-scale[S8.7 RTL]"
     else:
         u, v = lucas_kanade_single_scale(
             jnp.asarray(f0), jnp.asarray(f1),
