@@ -55,18 +55,32 @@ def make_frames(height=1080, width=1920, dx=2.0, dy=0.0):
 
 
 def main() -> None:
+    import argparse
+
     import jax
     import jax.numpy as jnp
 
-    from tpuflow.core.config import PyramidConfig
+    from tpuflow.core.config import PYRAMID_CONFIGS
     from tpuflow.flow import lucas_kanade_pyramidal_step
     from tpuflow.kernels import jnp_ref
 
-    h, w = 1080, 1920
+    parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    parser.add_argument("--height", type=int, default=1080)
+    parser.add_argument("--width", type=int, default=1920)
+    parser.add_argument(
+        "--config", type=str, default="default",
+        choices=sorted(PYRAMID_CONFIGS),
+        help="named pyramid config; the headline (driver) run uses the "
+        "default full-band config — narrow_vertical reproduces the "
+        "production-band rows of the README resolution table",
+    )
+    args = parser.parse_args()
+
+    h, w = args.height, args.width
     f0, f1 = make_frames(h, w)
     a = jnp.asarray(f0)
     b = jnp.asarray(f1)
-    cfg = PyramidConfig()
+    cfg = PYRAMID_CONFIGS[args.config]
 
     import functools
 
@@ -113,10 +127,12 @@ def main() -> None:
     # Two streamed frames per loop iteration (the a/b alternation above).
     per_frame = (best[n_long] - best[n_short]) / ((n_long - n_short) * 2)
     fps = 1.0 / per_frame
+    label = "1080p" if (h, w) == (1080, 1920) else f"{w}x{h}"
+    suffix = "" if args.config == "default" else f"_{args.config}"
     print(
         json.dumps(
             {
-                "metric": "pyramidal_lk_1080p_fps_per_chip",
+                "metric": f"pyramidal_lk_{label}_fps_per_chip{suffix}",
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / 100.0, 2),
