@@ -1050,3 +1050,65 @@ def test_violent_motion_culls_tracks_but_survives():
     assert np.all(np.isfinite(res.poses_r))
     assert np.all(np.isfinite(res.poses_t))
     assert np.all(np.isfinite(res.landmarks))
+
+
+def test_tiled_flow_session_matches_untiled():
+    """OdometrySession(mesh=...): the front-end dense flow runs
+    spatially tiled across the device mesh (BASELINE config 5's
+    multi-host tiled flow feeding the BA back-end). Tiled flow carries
+    the fast-path saturation semantics (rtl_clamp), so the reference
+    point is an untiled session with the same clamped flow. The strong
+    guarantee is at the FRONT-END: identical track observations (tiled
+    flow == untiled to ~1e-4 px). The monocular BA on a short planar
+    sequence is ill-conditioned enough that 1e-5 px observation dust
+    still moves the solution a few percent (measured), so the
+    trajectory check is correspondingly loose."""
+    import jax
+    from scipy.ndimage import shift as nd_shift
+
+    from tpuflow.eval import patterns
+    from tpuflow.flow import lucas_kanade_pyramidal
+    from tpuflow.sharding import make_flow_mesh
+    from tpuflow.vo.pipeline import OdometrySession
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh = make_flow_mesh(batch=1, ty=2, tx=2)
+    w, h = 128, 64
+    base = patterns.load_base_texture(w, h).astype(np.float32)
+    frames = [
+        nd_shift(base, (0.0, -1.2 * i), order=1, mode="nearest")
+        for i in range(6)
+    ]
+
+    def run(mesh_arg, clamp_ref=False):
+        sess = OdometrySession(
+            (80.0, 80.0, w / 2.0, h / 2.0), grid_step=16, mesh=mesh_arg
+        )
+        if clamp_ref:
+            sess._flow_fn = jax.jit(
+                lambda p, c: lucas_kanade_pyramidal(p, c, rtl_clamp=True)
+            )
+        for f in frames:
+            sess.process_frame(f)
+        return sess
+
+    st = run(mesh)
+    ss = run(None, clamp_ref=True)
+    # Front-end guarantee: identical tracking from the tiled flow.
+    for uv_t, uv_s, va_t, va_s in zip(
+        st.obs_uv, ss.obs_uv, st.obs_valid, ss.obs_valid
+    ):
+        np.testing.assert_array_equal(np.asarray(va_t), np.asarray(va_s))
+        both = np.asarray(va_t)
+        np.testing.assert_allclose(uv_t[both], uv_s[both], atol=1e-3)
+
+    rt = st.solve(ba_iterations=6)
+    rs = ss.solve(ba_iterations=6)
+    assert rt.mean_reprojection_error < 0.5
+    assert rs.mean_reprojection_error < 0.5
+    pos_t = np.stack([-r.T @ t for r, t in zip(rt.poses_r, rt.poses_t)])
+    pos_s = np.stack([-r.T @ t for r, t in zip(rs.poses_r, rs.poses_t)])
+    scale = np.linalg.norm(pos_s[-1] - pos_s[0])
+    assert scale > 0
+    np.testing.assert_allclose(pos_t / scale, pos_s / scale, atol=0.15)

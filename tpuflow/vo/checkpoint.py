@@ -37,8 +37,13 @@ def save(session: OdometrySession, path: str) -> None:
         json.dump(session.meta_dict(), f, indent=2)
 
 
-def load(path: str) -> OdometrySession:
-    """Restore a session previously written by :func:`save`."""
+def load(path: str, mesh=None) -> OdometrySession:
+    """Restore a session previously written by :func:`save`.
+
+    ``mesh``: optional device mesh for tiled-flow sessions — runtime
+    context, not part of the serialized state (the same checkpoint can
+    resume on a different device topology).
+    """
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
@@ -46,4 +51,4 @@ def load(path: str) -> OdometrySession:
         meta = json.load(f)
     with ocp.StandardCheckpointer() as ckptr:
         state = ckptr.restore(os.path.join(path, "state"))
-    return OdometrySession.from_state(meta, state)
+    return OdometrySession.from_state(meta, state, mesh=mesh)

@@ -49,6 +49,7 @@ class OdometrySession:
         init_depth: float = 5.0,
         backend: str = "jnp",
         fb_check_threshold: float | None = None,
+        mesh=None,
     ) -> None:
         import jax
 
@@ -63,10 +64,31 @@ class OdometrySession:
         self.fb_check_threshold = (
             None if fb_check_threshold is None else float(fb_check_threshold)
         )
+        # Optional ("batch", "ty", "tx") mesh: large frames run the
+        # front-end dense flow spatially tiled across devices with halo
+        # exchange (BASELINE config 5: multi-host tiled flow feeding the
+        # pose-graph/BA back-end). Tiled flow uses the fast-path
+        # saturation semantics (rtl_clamp); frame dims must divide the
+        # mesh tiling. Runtime context only — not serialized; pass it
+        # again to ``from_state``/``checkpoint.load`` on resume.
+        self.mesh = mesh
 
-        self._flow_fn = jax.jit(
-            lambda p, c: lucas_kanade_pyramidal(p, c, backend=backend)
-        )
+        if mesh is not None:
+            from tpuflow.sharding.tiled_pyramidal import (
+                tiled_lucas_kanade_pyramidal,
+            )
+
+            self._flow_fn = jax.jit(
+                lambda p, c: tuple(
+                    x[0] for x in tiled_lucas_kanade_pyramidal(
+                        p[None], c[None], mesh, backend=backend
+                    )
+                )
+            )
+        else:
+            self._flow_fn = jax.jit(
+                lambda p, c: lucas_kanade_pyramidal(p, c, backend=backend)
+            )
 
         # Mutable state (set by start / from_state).
         self.frame_index = -1
@@ -538,7 +560,7 @@ class OdometrySession:
         }
 
     @classmethod
-    def from_state(cls, meta: dict, state: dict) -> "OdometrySession":
+    def from_state(cls, meta: dict, state: dict, mesh=None) -> "OdometrySession":
         import jax.numpy as jnp
 
         from tpuflow.vo import tracking
@@ -550,6 +572,7 @@ class OdometrySession:
             init_depth=meta["init_depth"],
             backend=meta["backend"],
             fb_check_threshold=meta.get("fb_check_threshold"),
+            mesh=mesh,
         )
         sess.frame_index = int(state["frame_index"])
         sess.keyframes = [int(x) for x in np.asarray(state["keyframes"])]
