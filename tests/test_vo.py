@@ -1112,3 +1112,42 @@ def test_tiled_flow_session_matches_untiled():
     scale = np.linalg.norm(pos_s[-1] - pos_s[0])
     assert scale > 0
     np.testing.assert_allclose(pos_t / scale, pos_s / scale, atol=0.15)
+
+
+def test_tracking_loss_detection_and_persistence(tmp_path):
+    """Total occlusion mid-sequence: the session records the loss frame
+    (once per contiguous loss), recovers by reseeding, reports the
+    event in the solve result, and persists it through checkpoint."""
+    from scipy.ndimage import shift as nd_shift
+
+    from tpuflow.eval import patterns
+    from tpuflow.vo import checkpoint
+    from tpuflow.vo.pipeline import OdometrySession
+
+    w, h = 320, 120
+    base = patterns.load_base_texture(w, h).astype(np.float32)
+    blank = np.full((h, w), 128.0, np.float32)
+    sess = OdometrySession(
+        (150.0, 150.0, w / 2.0, h / 2.0), grid_step=16,
+        fb_check_threshold=1.0,
+    )
+    for i in range(4):
+        sess.process_frame(
+            nd_shift(base, (0.0, -1.2 * i), order=1, mode="nearest")
+        )
+    sess.process_frame(blank)
+    sess.process_frame(blank)  # still lost: no second event
+    for i in range(3):
+        sess.process_frame(
+            nd_shift(base, (0.0, -1.2 * (6 + i)), order=1, mode="nearest")
+        )
+    assert sess.track_loss_frames == [4]
+    res = sess.solve(ba_iterations=5)
+    assert res.track_loss_frames == [4]
+    assert np.all(np.isfinite(res.poses_t))
+
+    ckpt = tmp_path / "loss_ckpt"
+    checkpoint.save(sess, str(ckpt))
+    resumed = checkpoint.load(str(ckpt))
+    assert resumed.track_loss_frames == [4]
+    assert resumed._tracking_lost is False

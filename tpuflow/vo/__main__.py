@@ -114,6 +114,14 @@ def main() -> None:
     parser.add_argument("--ba-iterations", type=int, default=8)
     parser.add_argument("--backend", type=str, default="jnp",
                         choices=["jnp", "pallas"])
+    parser.add_argument("--fb-check", type=float, default=None,
+                        metavar="PX",
+                        help="forward-backward flow consistency culling "
+                        "threshold in px (e.g. 1.0). Recommended for "
+                        "real footage: kills drifting/occluded tracks, "
+                        "and enables tracking-loss detection (without "
+                        "it, a fully occluded frame freezes tracks "
+                        "instead of flagging the loss)")
     parser.add_argument("--essential-init", action="store_true",
                         help="bootstrap poses from the 8-point essential "
                         "matrix instead of identity+depth prior")
@@ -203,6 +211,7 @@ def main() -> None:
                 intr, keyframe_stride=args.keyframe_stride,
                 grid_step=args.grid_step, init_depth=args.init_depth,
                 backend=args.backend,
+                fb_check_threshold=args.fb_check,
             )
         n = 0
         for f in _chain_first(first, frame_iter):
@@ -221,6 +230,13 @@ def main() -> None:
             checkpoint.save(sess, args.checkpoint)
             print(f"session checkpoint -> {args.checkpoint}")
 
+    if res.track_loss_frames:
+        print(
+            f"WARNING: tracking lost at frame(s) {res.track_loss_frames} "
+            "(occlusion / violent motion) — trajectory segments across "
+            "each loss are re-anchored and NOT metrically connected",
+            file=sys.stderr,
+        )
     poses_r = np.asarray(res.poses_r)
     poses_t = np.asarray(res.poses_t)
     positions = np.stack([-r.T @ t for r, t in zip(poses_r, poses_t)])

@@ -30,6 +30,12 @@ class OdometryResult:
     keyframe_indices: list[int]
     track_count: int
     mean_reprojection_error: float
+    # Frame indices where tracking was lost (alive fraction fell below
+    # the session's loss threshold). Monocular trajectory segments
+    # separated by a loss event are NOT metrically connected — after a
+    # total occlusion the new segment re-anchors near the last pose
+    # with fresh (unobservable) scale. Empty = continuous tracking.
+    track_loss_frames: list[int] = dataclasses.field(default_factory=list)
 
 
 class OdometrySession:
@@ -109,6 +115,8 @@ class OdometrySession:
         # Marginalization state (compact()): frozen trajectory prefix,
         # anchor poses for the kept window, and solved landmark positions
         # carried across compactions as initialization/scale memory.
+        self.track_loss_frames: list[int] = []
+        self._tracking_lost = False
         self.frozen_kf: list[int] = []
         self.frozen_r = np.zeros((0, 3, 3), np.float32)
         self.frozen_t = np.zeros((0, 3), np.float32)
@@ -158,6 +166,17 @@ class OdometrySession:
             )
         self._prev_frame = np.asarray(cur)
         self.frame_index += 1
+        # Tracking-loss detection (total occlusion, violent motion,
+        # dropped exposure): record the transition healthy -> lost so
+        # consumers know the trajectory segments around it are not
+        # metrically connected (reseeding restores tracking, but the
+        # monocular scale/anchor across the gap is unobservable).
+        alive_frac = float(np.asarray(self._tracks.alive).mean())
+        if alive_frac < 0.25 and not self._tracking_lost:
+            self._tracking_lost = True
+            self.track_loss_frames.append(self.frame_index)
+        elif alive_frac >= 0.25 and self._tracking_lost:
+            self._tracking_lost = False
         if self.frame_index % self.keyframe_stride == 0:
             self.keyframes.append(self.frame_index)
             self._reseed(cur)
@@ -446,6 +465,7 @@ class OdometrySession:
             keyframe_indices=self.frozen_kf + list(self.keyframes),
             track_count=int(np.asarray(self._tracks.alive).sum()),
             mean_reprojection_error=mean_err,
+            track_loss_frames=list(self.track_loss_frames),
         )
 
     def compact(
@@ -519,6 +539,10 @@ class OdometrySession:
         state = {
             "frame_index": np.int64(self.frame_index),
             "keyframes": np.asarray(self.keyframes, np.int64),
+            "track_loss_frames": np.asarray(
+                self.track_loss_frames + [-1], np.int64
+            ),  # -1 sentinel: Orbax rejects zero-size arrays
+            "tracking_lost": np.int64(self._tracking_lost),
             "obs_uv": np.stack(self.obs_uv),          # (K, N, 2)
             "obs_lm": np.stack(self.obs_lm),          # (K, N)
             "obs_valid": np.stack(self.obs_valid),    # (K, N)
@@ -576,6 +600,11 @@ class OdometrySession:
         )
         sess.frame_index = int(state["frame_index"])
         sess.keyframes = [int(x) for x in np.asarray(state["keyframes"])]
+        sess.track_loss_frames = [
+            int(x) for x in np.asarray(state.get("track_loss_frames", [-1]))
+            if int(x) >= 0
+        ]
+        sess._tracking_lost = bool(int(state.get("tracking_lost", 0)))
         sess.obs_uv = [
             np.asarray(x, np.float32) for x in np.asarray(state["obs_uv"])
         ]
