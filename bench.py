@@ -129,13 +129,18 @@ def main() -> None:
     fps = 1.0 / per_frame
     label = "1080p" if (h, w) == (1080, 1920) else f"{w}x{h}"
     suffix = "" if args.config == "default" else f"_{args.config}"
+    headline = label == "1080p" and args.config == "default"
     print(
         json.dumps(
             {
                 "metric": f"pyramidal_lk_{label}_fps_per_chip{suffix}",
                 "value": round(fps, 2),
                 "unit": "frames/s",
-                "vs_baseline": round(fps / 100.0, 2),
+                # The /100 comparison is defined against the reference
+                # hardware's 320x240 single-scale rate specifically for
+                # the 1080p default-config headline (docstring); other
+                # flag combinations have no meaningful denominator.
+                "vs_baseline": round(fps / 100.0, 2) if headline else None,
             }
         )
     )

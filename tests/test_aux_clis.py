@@ -10,14 +10,7 @@ import pytest
 from tpuflow.io import frames as fio
 
 
-def _run(mod_main, argv, capsys):
-    old = sys.argv
-    sys.argv = ["prog"] + argv
-    try:
-        mod_main()
-    finally:
-        sys.argv = old
-    return capsys.readouterr().out
+from cli_harness import run_cli_main as _run
 
 
 def test_convert_bin_and_mem_to_png(tmp_path, rng, capsys):

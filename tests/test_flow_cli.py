@@ -23,15 +23,11 @@ def pattern_dir(tmp_path_factory):
 
 
 def run_cli(argv, capsys):
+    from cli_harness import run_cli_main
+
     from tpuflow.flow.__main__ import main
 
-    old = sys.argv
-    sys.argv = ["tpuflow.flow"] + argv
-    try:
-        main()
-    finally:
-        sys.argv = old
-    return capsys.readouterr().out
+    return run_cli_main(main, argv, capsys)
 
 
 def test_cli_single_scale_stats_and_export(pattern_dir, tmp_path, capsys):

@@ -65,15 +65,11 @@ def test_missing_file_raises(tmp_path):
 
 
 def test_flow_cli_video_sequence(video_path, capsys):
+    from cli_harness import run_cli_main
+
     from tpuflow.flow.__main__ import main
 
-    old = sys.argv
-    sys.argv = ["tpuflow.flow", str(video_path), "--pyramidal"]
-    try:
-        main()
-    finally:
-        sys.argv = old
-    out = capsys.readouterr().out
+    out = run_cli_main(main, [str(video_path), "--pyramidal"], capsys)
     assert "video seq.mp4" in out
     assert "pairs: 7" in out
     # 1.5 px/frame rightward shift: recovered mean magnitude nearby.
@@ -82,14 +78,14 @@ def test_flow_cli_video_sequence(video_path, capsys):
 
 
 def test_vo_cli_video(video_path, capsys):
+    from cli_harness import run_cli_main
+
     from tpuflow.vo.__main__ import main
 
-    old = sys.argv
-    sys.argv = ["tpuflow.vo", str(video_path), "--max-frames", "6",
-                "--intrinsics", "150", "150", "160", "60"]
-    try:
-        main()
-    finally:
-        sys.argv = old
-    out = capsys.readouterr().out
+    out = run_cli_main(
+        main,
+        [str(video_path), "--max-frames", "6",
+         "--intrinsics", "150", "150", "160", "60"],
+        capsys,
+    )
     assert "keyframes: 6" in out

@@ -1151,3 +1151,59 @@ def test_tracking_loss_detection_and_persistence(tmp_path):
     resumed = checkpoint.load(str(ckpt))
     assert resumed.track_loss_frames == [4]
     assert resumed._tracking_lost is False
+
+
+def test_mesh_resume_guard(tmp_path):
+    """A tiled session cannot be silently resumed untiled (and vice
+    versa): the flow saturation semantics differ (code-review r2
+    finding). The mesh must be re-passed to checkpoint.load."""
+    import jax
+    from scipy.ndimage import shift as nd_shift
+
+    from tpuflow.eval import patterns
+    from tpuflow.sharding import make_flow_mesh
+    from tpuflow.vo import checkpoint
+    from tpuflow.vo.pipeline import OdometrySession
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh = make_flow_mesh(batch=1, ty=2, tx=2)
+    w, h = 128, 64
+    base = patterns.load_base_texture(w, h).astype(np.float32)
+    sess = OdometrySession((80.0, 80.0, w / 2.0, h / 2.0), grid_step=16,
+                           mesh=mesh)
+    for i in range(3):
+        sess.process_frame(
+            nd_shift(base, (0.0, -1.0 * i), order=1, mode="nearest")
+        )
+    ckpt = tmp_path / "tiled_ckpt"
+    checkpoint.save(sess, str(ckpt))
+    with pytest.raises(ValueError, match="mesh-tiled"):
+        checkpoint.load(str(ckpt))
+    resumed = checkpoint.load(str(ckpt), mesh=mesh)
+    assert resumed.mesh is mesh
+    # Untiled checkpoints reject a mesh on resume too.
+    plain = OdometrySession((80.0, 80.0, w / 2.0, h / 2.0), grid_step=16)
+    plain.process_frame(base)
+    plain.process_frame(base)
+    ckpt2 = tmp_path / "plain_ckpt"
+    checkpoint.save(plain, str(ckpt2))
+    with pytest.raises(ValueError, match="untiled"):
+        checkpoint.load(str(ckpt2), mesh=mesh)
+
+
+def test_loss_detection_peak_relative():
+    """Sparse-texture scenes (few seedable cells) must NOT read as
+    tracking loss: the threshold is relative to the session's peak
+    alive count, not grid capacity (code-review r2 finding)."""
+    from tpuflow.vo.pipeline import OdometrySession
+
+    h, w = 120, 160
+    # Texture only in a small patch: most grid cells never seed.
+    rng_ = np.random.default_rng(7)
+    frame = np.full((h, w), 128.0, np.float32)
+    frame[40:80, 60:100] = rng_.uniform(0, 255, (40, 40)).astype(np.float32)
+    sess = OdometrySession((100.0, 100.0, w / 2.0, h / 2.0), grid_step=16)
+    for _ in range(4):
+        sess.process_frame(frame.copy())
+    assert sess.track_loss_frames == []  # stable sparse scene: no loss

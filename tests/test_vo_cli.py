@@ -27,15 +27,11 @@ def vo_frame_dir(tmp_path_factory):
 
 
 def run_cli(argv, capsys):
+    from cli_harness import run_cli_main
+
     from tpuflow.vo.__main__ import main
 
-    old = sys.argv
-    sys.argv = ["tpuflow.vo"] + argv
-    try:
-        main()
-    finally:
-        sys.argv = old
-    return capsys.readouterr().out
+    return run_cli_main(main, argv, capsys)
 
 
 def _base_argv(d):

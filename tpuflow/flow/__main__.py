@@ -179,18 +179,20 @@ def main() -> None:
                         "reference RTL's flow_field_rtl.txt)")
     args = parser.parse_args()
 
-    if args.backend == "rtl" and (args.pyramidal or args.sequence):
-        print("error: --backend rtl is single-scale frame-pair only "
-              "(the reference RTL's integer datapath; its pyramidal FSM "
-              "runs different per-level semantics — see PARITY.md N15)",
-              file=sys.stderr)
-        sys.exit(2)
-
     from pathlib import Path
 
     from tpuflow.io import frames as fio
 
     d = Path(args.frame_dir)
+    if args.backend == "rtl" and (args.pyramidal or args.sequence
+                                  or d.is_file()):
+        print("error: --backend rtl is single-scale frame-pair only "
+              "(the reference RTL's integer datapath; its pyramidal FSM "
+              "runs different per-level semantics — see PARITY.md N15; "
+              "video input implies --sequence)",
+              file=sys.stderr)
+        sys.exit(2)
+
     if args.sequence or d.is_file():
         # A file path means a video container — always stream mode.
         _run_sequence(d, args)

@@ -152,6 +152,11 @@ def main() -> None:
 
     # Mode/flag validation: silently ignoring a mode-incompatible flag
     # loses user data (e.g. --chunked --checkpoint would never save).
+    if args.resume and args.fb_check is not None:
+        print("error: --fb-check cannot change on --resume (the "
+              "checkpointed session's threshold applies; start a new "
+              "session to change it)", file=sys.stderr)
+        sys.exit(2)
     if args.chunked:
         bad = [name for name, val in (
             ("--checkpoint", args.checkpoint),
@@ -197,6 +202,7 @@ def main() -> None:
             ba_iterations=args.ba_iterations, backend=args.backend,
             loop_closure=args.loop_closure,
             motion_prior_weight=args.motion_prior,
+            fb_check_threshold=args.fb_check,
         )
     else:
         from tpuflow.vo import checkpoint

@@ -117,6 +117,7 @@ class OdometrySession:
         # carried across compactions as initialization/scale memory.
         self.track_loss_frames: list[int] = []
         self._tracking_lost = False
+        self._max_alive = 0  # healthy-level reference for loss detection
         self.frozen_kf: list[int] = []
         self.frozen_r = np.zeros((0, 3, 3), np.float32)
         self.frozen_t = np.zeros((0, 3), np.float32)
@@ -171,11 +172,19 @@ class OdometrySession:
         # consumers know the trajectory segments around it are not
         # metrically connected (reseeding restores tracking, but the
         # monocular scale/anchor across the gap is unobservable).
-        alive_frac = float(np.asarray(self._tracks.alive).mean())
-        if alive_frac < 0.25 and not self._tracking_lost:
+        # The threshold is relative to the session's PEAK alive count,
+        # not the grid capacity: sparse-texture scenes where many grid
+        # cells never seed would otherwise read as permanently "lost"
+        # and mask real losses.
+        alive_now = int(np.asarray(self._tracks.alive).sum())
+        self._max_alive = max(self._max_alive, alive_now)
+        lost = (
+            self._max_alive > 0 and alive_now < 0.25 * self._max_alive
+        )
+        if lost and not self._tracking_lost:
             self._tracking_lost = True
             self.track_loss_frames.append(self.frame_index)
-        elif alive_frac >= 0.25 and self._tracking_lost:
+        elif not lost and self._tracking_lost:
             self._tracking_lost = False
         if self.frame_index % self.keyframe_stride == 0:
             self.keyframes.append(self.frame_index)
@@ -543,6 +552,7 @@ class OdometrySession:
                 self.track_loss_frames + [-1], np.int64
             ),  # -1 sentinel: Orbax rejects zero-size arrays
             "tracking_lost": np.int64(self._tracking_lost),
+            "max_alive": np.int64(self._max_alive),
             "obs_uv": np.stack(self.obs_uv),          # (K, N, 2)
             "obs_lm": np.stack(self.obs_lm),          # (K, N)
             "obs_valid": np.stack(self.obs_valid),    # (K, N)
@@ -581,6 +591,7 @@ class OdometrySession:
             "init_depth": self.init_depth,
             "backend": self.backend,
             "fb_check_threshold": self.fb_check_threshold,
+            "tiled": self.mesh is not None,
         }
 
     @classmethod
@@ -589,6 +600,21 @@ class OdometrySession:
 
         from tpuflow.vo import tracking
 
+        # Tiled and untiled flow differ in saturation semantics
+        # (rtl_clamp vs golden); silently switching on resume would
+        # break the bit-identical-resume contract.
+        was_tiled = bool(meta.get("tiled", False))
+        if was_tiled and mesh is None:
+            raise ValueError(
+                "this session used mesh-tiled flow; pass the mesh to "
+                "from_state/checkpoint.load to resume (tiled flow's "
+                "saturation semantics differ from the untiled default)"
+            )
+        if not was_tiled and mesh is not None:
+            raise ValueError(
+                "this session used untiled flow; resuming with a mesh "
+                "would switch flow semantics mid-session"
+            )
         sess = cls(
             intrinsics=meta["intrinsics"],
             keyframe_stride=meta["keyframe_stride"],
@@ -605,6 +631,7 @@ class OdometrySession:
             if int(x) >= 0
         ]
         sess._tracking_lost = bool(int(state.get("tracking_lost", 0)))
+        sess._max_alive = int(state.get("max_alive", 0))
         sess.obs_uv = [
             np.asarray(x, np.float32) for x in np.asarray(state["obs_uv"])
         ]
@@ -658,6 +685,7 @@ def run_odometry(
     init_depth: float = 5.0,
     ba_iterations: int = 8,
     backend: str = "jnp",
+    fb_check_threshold: float | None = None,
 ) -> OdometryResult:
     """Track through ``frames`` and bundle-adjust the keyframe poses.
 
@@ -670,6 +698,7 @@ def run_odometry(
         grid_step=grid_step,
         init_depth=init_depth,
         backend=backend,
+        fb_check_threshold=fb_check_threshold,
     )
     for frame in frames:
         session.process_frame(frame)
@@ -691,6 +720,7 @@ def run_odometry_chunked(
     loop_min_separation: int = 4,
     loop_weight: float = 5.0,
     motion_prior_weight: float = 0.0,
+    fb_check_threshold: float | None = None,
 ) -> "OdometryResult":
     """Local-BA + global pose-graph odometry (the classic SLAM split).
 
@@ -749,6 +779,7 @@ def run_odometry_chunked(
             frames[s : s + chunk_size], intrinsics,
             grid_step=grid_step, init_depth=init_depth,
             ba_iterations=ba_iterations, backend=backend,
+            fb_check_threshold=fb_check_threshold,
         )
         last_result = res
         kf = [s + i for i in res.keyframe_indices]
