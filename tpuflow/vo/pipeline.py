@@ -103,7 +103,11 @@ class OdometrySession:
         self.obs_lm: list[np.ndarray] = []      # per keyframe: (N,) int32
         self.obs_valid: list[np.ndarray] = []   # per keyframe: (N,) bool
         self._tracks = None                     # tracking.Tracks
-        self._prev_frame: np.ndarray | None = None
+        # Kept as a DEVICE array between frames: converting to NumPy
+        # every frame costs a full-frame D2H sync per step (measured
+        # 3 fps through the TPU tunnel vs the kernel-level 1600 fps at
+        # 480p); state_dict materializes it on host at checkpoint time.
+        self._prev_frame = None
         # Track lifecycle: each slot carries a landmark id; dead slots
         # are reseeded at keyframes with NEW landmark ids, so long
         # sequences keep a live observation stream instead of bleeding
@@ -135,7 +139,7 @@ class OdometrySession:
 
         frame = jnp.asarray(first_frame, jnp.float32)
         self._tracks = tracking.seed_grid(frame, grid_step=self.grid_step)
-        self._prev_frame = np.asarray(frame)
+        self._prev_frame = frame
         self.frame_index = 0
         self.keyframes = [0]
         n = int(self._tracks.xy.shape[0])
@@ -165,7 +169,7 @@ class OdometrySession:
                 self._tracks, prev_xy, ub, vb,
                 threshold=self.fb_check_threshold,
             )
-        self._prev_frame = np.asarray(cur)
+        self._prev_frame = cur
         self.frame_index += 1
         # Tracking-loss detection (total occlusion, violent motion,
         # dropped exposure): record the transition healthy -> lost so
