@@ -51,14 +51,22 @@ def _marginal_seconds(make_body, shape, n1: int = 20, n2: int = 100) -> float:
     return (ts[n2] - ts[n1]) / (n2 - n1)
 
 
-def profile_pipeline(height: int = 1080, width: int = 1920) -> list[dict]:
-    """Measure each stage at (height, width); returns report rows."""
+def profile_pipeline(
+    height: int = 1080, width: int = 1920, config: str = "default"
+) -> list[dict]:
+    """Measure each stage at (height, width); returns report rows.
+
+    ``config``: named PyramidConfig — ``narrow_vertical`` profiles the
+    production vertical-band warp and pipeline.
+    """
     import jax.numpy as jnp
 
     from tpuflow.core import ops
+    from tpuflow.core.config import PYRAMID_CONFIGS
     from tpuflow.flow import lucas_kanade_pyramidal
     from tpuflow.kernels import jnp_ref, pallas_lk, pallas_warp
 
+    cfg = PYRAMID_CONFIGS[config]
     h, w = height, width
     px = h * w
     rng = np.random.default_rng(1)
@@ -73,7 +81,10 @@ def profile_pipeline(height: int = 1080, width: int = 1920) -> list[dict]:
         ),
         (
             "banded warp (pallas)",
-            lambda x: pallas_warp.warp_image_banded(curr, u0, x * 0 + u0),
+            lambda x: pallas_warp.warp_image_banded(
+                curr, u0, x * 0 + u0, max_disp=cfg.max_disp,
+                max_disp_v=cfg.max_disp_v_effective, clamp_flow=True,
+            ),
             16 * px,  # frame + 2 flows in, frame out
         ),
         (
@@ -102,7 +113,9 @@ def profile_pipeline(height: int = 1080, width: int = 1920) -> list[dict]:
         ),
         (
             "pyramidal total (fast)",
-            lambda x: lucas_kanade_pyramidal(x, curr, backend="pallas")[0],
+            lambda x: lucas_kanade_pyramidal(
+                x, curr, config=cfg, backend="pallas"
+            )[0],
             None,
         ),
     ]
@@ -142,6 +155,9 @@ def main() -> None:
     parser = argparse.ArgumentParser(description="Profile the flow pipeline")
     parser.add_argument("--height", type=int, default=1080)
     parser.add_argument("--width", type=int, default=1920)
+    parser.add_argument("--config", type=str, default="default",
+                        help="named pyramid config (narrow_vertical "
+                        "profiles the production vertical band)")
     parser.add_argument(
         "--trace", type=str, default=None, metavar="DIR",
         help="additionally capture a jax.profiler device trace of one "
@@ -150,7 +166,7 @@ def main() -> None:
         "(run_sim.sh +dump_waves)",
     )
     args = parser.parse_args()
-    rows = profile_pipeline(args.height, args.width)
+    rows = profile_pipeline(args.height, args.width, args.config)
     print(format_report(rows, args.height, args.width))
     if args.trace:
         import jax
