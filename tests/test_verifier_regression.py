@@ -167,6 +167,58 @@ def test_update_baseline_roundtrip(tmp_path):
     )
 
 
+def test_baseline_provenance_guard(tmp_path):
+    """A baseline captured with one backend / pyramid config must not
+    gate a run of another: mismatches fail the compare outright instead
+    of producing spurious metric diffs (code-review r2 finding)."""
+    from tpuflow.eval import verifier
+
+    results = [
+        {
+            "pattern_name": "translate_medium",
+            "ground_truth": {"u": 2.0, "v": 0.0},
+            "num_test_pixels": 100,
+            "single_scale": {
+                "metrics": {"mae_u": 0.9, "mae_v": 0.5, "epe": 1.1},
+                "status": "Warning",
+            },
+            "pyramidal": {
+                "metrics": {"mae_u": 0.5, "mae_v": 0.4, "epe": 0.7},
+                "status": "Warning",
+                "config": "default",
+            },
+            "flow_fields": {"single": (None, None), "pyramidal": (None, None)},
+        }
+    ]
+    path = tmp_path / "baseline.json"
+    verifier.update_baseline(results, path, backend="jnp")
+
+    # Matching provenance passes; the recorded backend is in the file.
+    import json
+
+    assert json.loads(path.read_text())["backend"] == "jnp"
+    assert verifier.compare_against_baseline(
+        results, path, verbose=False, backend="jnp"
+    )
+    # Backend mismatch fails even with identical metrics.
+    assert not verifier.compare_against_baseline(
+        results, path, verbose=False, backend="pallas"
+    )
+    # Pyramid-config mismatch fails per pattern.
+    narrow = [
+        {**results[0], "pyramidal": {**results[0]["pyramidal"],
+                                     "config": "narrow_vertical"}}
+    ]
+    assert not verifier.compare_against_baseline(
+        narrow, path, verbose=False, backend="jnp"
+    )
+    # Legacy baselines without a backend record still compare.
+    verifier.update_baseline(results, path)
+    assert verifier.compare_against_baseline(
+        results, path, verbose=False, backend="pallas"
+    )
+
+
 def test_dense_gt_verifier_column(suite_dir):
     """--dense-gt adds per-mode dense metrics; for pure translation they
     coincide with the scalar-GT metrics, for rotation they score the

@@ -1192,6 +1192,84 @@ def test_mesh_resume_guard(tmp_path):
         checkpoint.load(str(ckpt2), mesh=mesh)
 
 
+def test_chunked_aggregates_track_loss_frames():
+    """run_odometry_chunked surfaces per-chunk loss events as GLOBAL
+    frame indices, deduped across chunk overlaps (code-review r3 medium
+    finding: the chunked result used to silently drop them)."""
+    from scipy.ndimage import shift as nd_shift
+
+    from tpuflow.eval import patterns
+    from tpuflow.vo.pipeline import run_odometry_chunked
+
+    w, h = 320, 120
+    base = patterns.load_base_texture(w, h).astype(np.float32)
+    blank = np.full((h, w), 128.0, np.float32)
+    frames = [
+        nd_shift(base, (0.0, -1.2 * i), order=1, mode="nearest")
+        for i in range(4)
+    ] + [blank, blank] + [
+        nd_shift(base, (0.0, -1.2 * (6 + i)), order=1, mode="nearest")
+        for i in range(3)
+    ]
+    res = run_odometry_chunked(
+        frames, (150.0, 150.0, w / 2.0, h / 2.0),
+        chunk_size=5, grid_step=16, ba_iterations=4,
+        fb_check_threshold=1.0,
+    )
+    # The occlusion at frame 4 is seen by two overlapping chunks; the
+    # aggregate must report it once, at the global index.
+    assert res.track_loss_frames == [4]
+
+
+def test_loss_compact_resume_chain(tmp_path):
+    """Fresh session -> tracking loss -> compact() -> checkpoint ->
+    resume -> continue: the loss record and the compacted state both
+    survive the full chain, and the resumed session keeps processing
+    identically to the uninterrupted one."""
+    from scipy.ndimage import shift as nd_shift
+
+    from tpuflow.eval import patterns
+    from tpuflow.vo import checkpoint
+    from tpuflow.vo.pipeline import OdometrySession
+
+    w, h = 320, 120
+    base = patterns.load_base_texture(w, h).astype(np.float32)
+    blank = np.full((h, w), 128.0, np.float32)
+
+    def seq():
+        for i in range(4):
+            yield nd_shift(base, (0.0, -1.2 * i), order=1, mode="nearest")
+        yield blank
+        for i in range(4):
+            yield nd_shift(
+                base, (0.0, -1.2 * (5 + i)), order=1, mode="nearest"
+            )
+
+    frames = list(seq())
+    sess = OdometrySession(
+        (150.0, 150.0, w / 2.0, h / 2.0), grid_step=16,
+        fb_check_threshold=1.0,
+    )
+    for f in frames[:7]:
+        sess.process_frame(f)
+    assert sess.track_loss_frames == [4]
+    sess.compact(keep_last=3, ba_iterations=4)
+    ckpt = tmp_path / "chain_ckpt"
+    checkpoint.save(sess, str(ckpt))
+
+    resumed = checkpoint.load(str(ckpt))
+    assert resumed.track_loss_frames == [4]
+    assert resumed.frozen_kf == sess.frozen_kf
+    for f in frames[7:]:
+        sess.process_frame(f)
+        resumed.process_frame(f)
+    r1 = sess.solve(ba_iterations=4)
+    r2 = resumed.solve(ba_iterations=4)
+    assert r1.track_loss_frames == r2.track_loss_frames == [4]
+    np.testing.assert_allclose(r1.poses_t, r2.poses_t, atol=1e-5)
+    np.testing.assert_array_equal(r1.keyframe_indices, r2.keyframe_indices)
+
+
 def test_loss_detection_peak_relative():
     """Sparse-texture scenes (few seedable cells) must NOT read as
     tracking loss: the threshold is relative to the session's peak

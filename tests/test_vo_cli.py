@@ -78,3 +78,37 @@ def test_chunked_mode(vo_frame_dir, capsys):
 def test_missing_frames_errors(tmp_path, capsys):
     with pytest.raises(SystemExit):
         run_cli([str(tmp_path)], capsys)
+
+
+def test_resume_rejects_constructor_flags(vo_frame_dir, tmp_path, capsys):
+    """Session-constructor flags are loaded from the checkpoint meta on
+    --resume; passing a conflicting value must error, not be silently
+    overridden (code-review r2 finding)."""
+    ckpt = tmp_path / "ckpt"
+    run_cli(_base_argv(vo_frame_dir) + ["--checkpoint", str(ckpt)], capsys)
+    for flags in (
+        ["--backend", "pallas"],
+        ["--keyframe-stride", "2"],
+        ["--grid-step", "32"],
+        ["--init-depth", "2.0"],
+        ["--fb-check", "1.0"],
+    ):
+        with pytest.raises(SystemExit) as exc:
+            run_cli(
+                _base_argv(vo_frame_dir) + ["--resume", str(ckpt)] + flags,
+                capsys,
+            )
+        assert exc.value.code == 2, flags
+        assert "--resume" in capsys.readouterr().err
+
+
+def test_chunked_only_flags_rejected_without_chunked(vo_frame_dir, capsys):
+    for flags in (
+        ["--loop-closure"],
+        ["--chunk-size", "4"],
+        ["--motion-prior", "0.5"],
+    ):
+        with pytest.raises(SystemExit) as exc:
+            run_cli(_base_argv(vo_frame_dir) + flags, capsys)
+        assert exc.value.code == 2, flags
+        assert "--chunked" in capsys.readouterr().err

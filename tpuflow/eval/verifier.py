@@ -286,13 +286,30 @@ def compare_against_baseline(
     baseline_path: Path,
     threshold_percent: float = 10.0,
     verbose: bool = True,
+    backend: str | None = None,
 ) -> bool:
     """Whole-suite regression check; True = no regressions (reference:
-    optical_flow_verifier.py:637-719)."""
+    optical_flow_verifier.py:637-719).
+
+    Provenance guard: a baseline captured with one pyramid config or
+    backend must not silently gate a run of another (e.g. ``--backend
+    pallas`` against the jnp reference baseline, or ``narrow_vertical``
+    against the full-band pallas baseline) — mismatches fail the check
+    outright instead of producing spurious metric flags or accidental
+    passes."""
     if not baseline_path.exists():
         print(f"No baseline found at {baseline_path}; skipping regression check.")
         return True
-    baseline = json.loads(baseline_path.read_text()).get("patterns", {})
+    doc = json.loads(baseline_path.read_text())
+    baseline = doc.get("patterns", {})
+    base_backend = doc.get("backend")
+    if backend is not None and base_backend is not None and backend != base_backend:
+        print(
+            f"PROVENANCE MISMATCH: baseline {baseline_path.name} was "
+            f"captured with backend={base_backend!r} but this run uses "
+            f"backend={backend!r}; pass the matching --baseline."
+        )
+        return False
 
     all_passed = True
     for result in results:
@@ -300,6 +317,15 @@ def compare_against_baseline(
         if name not in baseline:
             if verbose:
                 print(f"  {name}: not in baseline (skipping)")
+            continue
+        run_cfg = result.get("pyramidal", {}).get("config")
+        base_cfg = baseline[name].get("pyramidal", {}).get("config")
+        if run_cfg is not None and base_cfg is not None and run_cfg != base_cfg:
+            print(
+                f"  PROVENANCE MISMATCH {name}: baseline pyramid config "
+                f"{base_cfg!r} != run config {run_cfg!r}"
+            )
+            all_passed = False
             continue
         for mode in ("single_scale", "pyramidal"):
             cmp = compare_metrics(
@@ -321,14 +347,21 @@ def compare_against_baseline(
     return all_passed
 
 
-def update_baseline(results: List[Dict[str, Any]], baseline_path: Path) -> None:
+def update_baseline(
+    results: List[Dict[str, Any]],
+    baseline_path: Path,
+    backend: str | None = None,
+) -> None:
     """Rewrite the baseline from current results (reference:
-    optical_flow_verifier.py:722-735)."""
+    optical_flow_verifier.py:722-735). ``backend`` records the capture
+    provenance checked by ``compare_against_baseline``."""
     data = {
         "version": "1.0",
         "timestamp": datetime.now(timezone.utc).isoformat(),
         "patterns": {r["pattern_name"]: _strip_arrays(r) for r in results},
     }
+    if backend is not None:
+        data["backend"] = backend
     baseline_path.parent.mkdir(parents=True, exist_ok=True)
     baseline_path.write_text(json.dumps(data, indent=2))
     print(f"Baseline updated: {baseline_path}")
@@ -547,11 +580,12 @@ def main() -> None:
             print(f"(visualizations skipped: {exc})")
 
     if args.update_baseline:
-        update_baseline(results, Path(args.baseline))
+        update_baseline(results, Path(args.baseline), backend=args.backend)
 
     if args.compare_baseline:
         ok = compare_against_baseline(
-            results, Path(args.baseline), args.regression_threshold
+            results, Path(args.baseline), args.regression_threshold,
+            backend=args.backend,
         )
         if not ok:
             print("\nRegression detected! Review changes before committing.")

@@ -149,8 +149,8 @@ def _warp_block(band, u, v, r0, *, n_rows: int, height: int, width: int,
     # the VPU ops saved were fully hidden under the gather issue rate,
     # confirming the kernel is gather-bound at ~4 hardware gathers per
     # candidate row (see docs/DESIGN.md ceiling analysis).
-    up = jnp.zeros((th * nb, 128), jnp.float32)
-    lo = jnp.zeros((th * nb, 128), jnp.float32)
+    up_plane = jnp.zeros((th * nb, 128), jnp.float32)
+    low_plane = jnp.zeros((th * nb, 128), jnp.float32)
     m_prev = None
     for dy in range(dpad - max_disp_v, dpad + max_disp_v + 2):
         rows_a = jax.lax.slice(band_a, (dy * nb, 0), ((dy + th) * nb, 128))
@@ -175,12 +175,12 @@ def _warp_block(band, u, v, r0, *, n_rows: int, height: int, width: int,
         )
         h = g0 * fxc_r + g1 * fx_r
         m = dy_r == dy
-        up = jnp.where(m, h, up)
+        up_plane = jnp.where(m, h, up_plane)
         if m_prev is not None:
-            lo = jnp.where(m_prev, h, lo)
+            low_plane = jnp.where(m_prev, h, low_plane)
         m_prev = m
 
-    out = (up * fyc_r + lo * fy_r).reshape(th, wp)
+    out = (up_plane * fyc_r + low_plane * fy_r).reshape(th, wp)
     inside = (
         (xf >= 0.0)
         & (xf <= float(width - 1))

@@ -152,11 +152,23 @@ def main() -> None:
 
     # Mode/flag validation: silently ignoring a mode-incompatible flag
     # loses user data (e.g. --chunked --checkpoint would never save).
-    if args.resume and args.fb_check is not None:
-        print("error: --fb-check cannot change on --resume (the "
-              "checkpointed session's threshold applies; start a new "
-              "session to change it)", file=sys.stderr)
-        sys.exit(2)
+    if args.resume:
+        # Session-constructor settings come from the checkpoint meta on
+        # resume; a conflicting flag would be silently overridden.
+        overridden = [name for name, val, default in (
+            ("--fb-check", args.fb_check, None),
+            ("--backend", args.backend, parser.get_default("backend")),
+            ("--keyframe-stride", args.keyframe_stride,
+             parser.get_default("keyframe_stride")),
+            ("--grid-step", args.grid_step, parser.get_default("grid_step")),
+            ("--init-depth", args.init_depth,
+             parser.get_default("init_depth")),
+        ) if val != default]
+        if overridden:
+            print(f"error: {', '.join(overridden)} cannot change on "
+                  "--resume (the checkpointed session's settings apply; "
+                  "start a new session to change them)", file=sys.stderr)
+            sys.exit(2)
     if args.chunked:
         bad = [name for name, val in (
             ("--checkpoint", args.checkpoint),
@@ -168,11 +180,18 @@ def main() -> None:
             print(f"error: {', '.join(bad)} only apply to the "
                   "incremental (non --chunked) mode", file=sys.stderr)
             sys.exit(2)
-    elif args.motion_prior:
-        print("error: --motion-prior requires --chunked (it weights "
-              "pose-graph edges; incremental mode has no pose graph)",
-              file=sys.stderr)
-        sys.exit(2)
+    else:
+        bad = [name for name, val in (
+            ("--motion-prior", args.motion_prior),
+            ("--loop-closure", args.loop_closure),
+            ("--chunk-size",
+             args.chunk_size != parser.get_default("chunk_size") or None),
+        ) if val]
+        if bad:
+            print(f"error: {', '.join(bad)} require(s) --chunked (they "
+                  "configure the pose-graph chunk pipeline; incremental "
+                  "mode has none)", file=sys.stderr)
+            sys.exit(2)
 
     frame_iter = iter(_iter_frames(args))
     try:

@@ -552,9 +552,10 @@ class OdometrySession:
         state = {
             "frame_index": np.int64(self.frame_index),
             "keyframes": np.asarray(self.keyframes, np.int64),
-            "track_loss_frames": np.asarray(
-                self.track_loss_frames + [-1], np.int64
-            ),  # -1 sentinel: Orbax rejects zero-size arrays
+            # One convention for every optional array: OMITTED while
+            # empty (the size filter below — Orbax rejects zero-size
+            # arrays), defaulted by ``from_state``.
+            "track_loss_frames": np.asarray(self.track_loss_frames, np.int64),
             "tracking_lost": np.int64(self._tracking_lost),
             "max_alive": np.int64(self._max_alive),
             "obs_uv": np.stack(self.obs_uv),          # (K, N, 2)
@@ -630,8 +631,10 @@ class OdometrySession:
         )
         sess.frame_index = int(state["frame_index"])
         sess.keyframes = [int(x) for x in np.asarray(state["keyframes"])]
+        # The >= 0 filter also accepts pre-round-3 checkpoints that
+        # encoded "empty" as a [-1] sentinel instead of an omitted key.
         sess.track_loss_frames = [
-            int(x) for x in np.asarray(state.get("track_loss_frames", [-1]))
+            int(x) for x in np.asarray(state.get("track_loss_frames", []))
             if int(x) >= 0
         ]
         sess._tracking_lost = bool(int(state.get("tracking_lost", 0)))
@@ -778,6 +781,10 @@ def run_odometry_chunked(
     scale = 1.0
     prev_shared = None  # ((gi, gj), |t| in previous chunk's scale)
     last_result = None
+    # Loss frames are detected per chunk with LOCAL frame indices;
+    # collect them as global indices, deduping across chunk overlaps
+    # (the same occluded frame is seen by up to two chunks).
+    loss_frames: set[int] = set()
     for s in starts:
         res = run_odometry(
             frames[s : s + chunk_size], intrinsics,
@@ -786,6 +793,7 @@ def run_odometry_chunked(
             fb_check_threshold=fb_check_threshold,
         )
         last_result = res
+        loss_frames.update(s + f for f in res.track_loss_frames)
         kf = [s + i for i in res.keyframe_indices]
         rels = [
             (kf[i], kf[i + 1], rel(res.poses_r, res.poses_t, i, i + 1))
@@ -885,4 +893,5 @@ def run_odometry_chunked(
         keyframe_indices=nodes,
         track_count=last_result.track_count,
         mean_reprojection_error=resid,
+        track_loss_frames=sorted(loss_frames),
     )
