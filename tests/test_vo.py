@@ -1067,7 +1067,6 @@ def test_tiled_flow_session_matches_untiled():
     from scipy.ndimage import shift as nd_shift
 
     from tpuflow.eval import patterns
-    from tpuflow.flow import lucas_kanade_pyramidal
     from tpuflow.sharding import make_flow_mesh
     from tpuflow.vo.pipeline import OdometrySession
 
@@ -1086,8 +1085,11 @@ def test_tiled_flow_session_matches_untiled():
             (80.0, 80.0, w / 2.0, h / 2.0), grid_step=16, mesh=mesh_arg
         )
         if clamp_ref:
-            sess._flow_fn = jax.jit(
-                lambda p, c: lucas_kanade_pyramidal(p, c, rtl_clamp=True)
+            from tpuflow.vo.device_loop import FrontEnd
+
+            sess._fe = FrontEnd(
+                grid_step=16, keyframe_stride=1, backend="jnp",
+                rtl_clamp=True,
             )
         for f in frames:
             sess.process_frame(f)
@@ -1268,6 +1270,63 @@ def test_loss_compact_resume_chain(tmp_path):
     assert r1.track_loss_frames == r2.track_loss_frames == [4]
     np.testing.assert_allclose(r1.poses_t, r2.poses_t, atol=1e-5)
     np.testing.assert_array_equal(r1.keyframe_indices, r2.keyframe_indices)
+
+
+def test_process_frames_scan_matches_eager():
+    """The single-dispatch scan path (process_frames) produces the same
+    session as per-frame process_frame calls: same keyframes, same
+    observations, same loss events, same solution — including keyframe
+    stride > 1, fb-check, an occlusion, and chunked scan calls."""
+    from scipy.ndimage import shift as nd_shift
+
+    from tpuflow.eval import patterns
+    from tpuflow.vo.pipeline import OdometrySession
+
+    w, h = 320, 120
+    base = patterns.load_base_texture(w, h).astype(np.float32)
+    blank = np.full((h, w), 128.0, np.float32)
+    frames = [
+        nd_shift(base, (0.0, -1.2 * i), order=1, mode="nearest")
+        for i in range(4)
+    ] + [blank] + [
+        nd_shift(base, (0.0, -1.2 * (5 + i)), order=1, mode="nearest")
+        for i in range(4)
+    ]
+
+    def make():
+        return OdometrySession(
+            (150.0, 150.0, w / 2.0, h / 2.0), grid_step=16,
+            keyframe_stride=2, fb_check_threshold=1.0,
+        )
+
+    eager = make()
+    for f in frames:
+        eager.process_frame(f)
+    scanned = make()
+    scanned.process_frames(np.stack(frames[:5]))  # first chunk
+    scanned.process_frames(np.stack(frames[5:]))  # continuation chunk
+
+    assert scanned.frame_index == eager.frame_index == len(frames) - 1
+    assert scanned.keyframes == eager.keyframes
+    assert scanned.track_loss_frames == eager.track_loss_frames
+    assert len(scanned.obs_uv) == len(eager.obs_uv)
+    for uv_s, uv_e, lm_s, lm_e, va_s, va_e in zip(
+        scanned.obs_uv, eager.obs_uv, scanned.obs_lm, eager.obs_lm,
+        scanned.obs_valid, eager.obs_valid,
+    ):
+        np.testing.assert_array_equal(va_s, va_e)
+        np.testing.assert_array_equal(lm_s, lm_e)
+        np.testing.assert_allclose(uv_s[va_s], uv_e[va_e], atol=1e-4)
+    assert scanned.n_landmarks == eager.n_landmarks
+    np.testing.assert_allclose(
+        scanned.lm_first_uv, eager.lm_first_uv, atol=1e-4
+    )
+    np.testing.assert_array_equal(scanned.lm_first_kf, eager.lm_first_kf)
+
+    rs = scanned.solve(ba_iterations=4)
+    re_ = eager.solve(ba_iterations=4)
+    np.testing.assert_allclose(rs.poses_t, re_.poses_t, atol=1e-3)
+    assert rs.track_loss_frames == re_.track_loss_frames
 
 
 def test_loss_detection_peak_relative():

@@ -41,10 +41,17 @@ class OdometryResult:
 class OdometrySession:
     """Incremental VO: feed frames one at a time, solve/checkpoint anytime.
 
-    State = tracker table + per-keyframe observation records + the last
-    frame (needed to compute flow to the next one). Everything is held
-    as NumPy so a session round-trips exactly through
-    ``state_dict``/``from_state``.
+    The front-end (flow + tracking + loss detection + keyframe
+    reseeding) runs entirely on device as one jitted step per frame
+    (tpuflow.vo.device_loop) — zero host syncs on the hot path, the TPU
+    analog of the reference RTL never leaving the FPGA mid-pipeline
+    (rtl/common/frame_buffer_simple.sv:60-94). Per-keyframe observation
+    snapshots are appended as DEVICE arrays and materialized to NumPy
+    lazily, only when the back-end needs them (solve / compact /
+    checkpoint), so a session round-trips exactly through
+    ``state_dict``/``from_state`` while the serving loop stays
+    dispatch-only. ``process_frames`` scans whole frame chunks in a
+    single dispatch.
     """
 
     def __init__(
@@ -57,9 +64,7 @@ class OdometrySession:
         fb_check_threshold: float | None = None,
         mesh=None,
     ) -> None:
-        import jax
-
-        from tpuflow.flow import lucas_kanade_pyramidal
+        from tpuflow.vo import device_loop
 
         self.intrinsics = tuple(float(x) for x in intrinsics)
         self.keyframe_stride = int(keyframe_stride)
@@ -78,50 +83,35 @@ class OdometrySession:
         # mesh tiling. Runtime context only — not serialized; pass it
         # again to ``from_state``/``checkpoint.load`` on resume.
         self.mesh = mesh
-
-        if mesh is not None:
-            from tpuflow.sharding.tiled_pyramidal import (
-                tiled_lucas_kanade_pyramidal,
-            )
-
-            self._flow_fn = jax.jit(
-                lambda p, c: tuple(
-                    x[0] for x in tiled_lucas_kanade_pyramidal(
-                        p[None], c[None], mesh, backend=backend
-                    )
-                )
-            )
-        else:
-            self._flow_fn = jax.jit(
-                lambda p, c: lucas_kanade_pyramidal(p, c, backend=backend)
-            )
+        self._fe = device_loop.get_front_end(
+            grid_step=self.grid_step,
+            keyframe_stride=self.keyframe_stride,
+            fb_check_threshold=self.fb_check_threshold,
+            backend=backend,
+            mesh=mesh,
+        )
 
         # Mutable state (set by start / from_state).
         self.frame_index = -1
         self.keyframes: list[int] = []
-        self.obs_uv: list[np.ndarray] = []      # per keyframe: (N, 2)
-        self.obs_lm: list[np.ndarray] = []      # per keyframe: (N,) int32
-        self.obs_valid: list[np.ndarray] = []   # per keyframe: (N,) bool
-        self._tracks = None                     # tracking.Tracks
-        # Kept as a DEVICE array between frames: converting to NumPy
-        # every frame costs a full-frame D2H sync per step (measured
-        # 3 fps through the TPU tunnel vs the kernel-level 1600 fps at
-        # 480p); state_dict materializes it on host at checkpoint time.
-        self._prev_frame = None
-        # Track lifecycle: each slot carries a landmark id; dead slots
-        # are reseeded at keyframes with NEW landmark ids, so long
-        # sequences keep a live observation stream instead of bleeding
-        # out the initial seeding.
-        self.track_lm: np.ndarray | None = None  # (N,) int32
-        self.lm_first_uv: np.ndarray | None = None  # (n_landmarks, 2)
-        self.lm_first_kf: np.ndarray | None = None  # (n_landmarks,) global idx
-        self.n_landmarks = 0
+        # Device-resident front-end state + per-keyframe ObsRecords not
+        # yet materialized: (global_frame_index, ObsRecord) pairs whose
+        # arrays still live on device. ``_drain`` moves them into the
+        # NumPy mirrors below in one batched transfer.
+        self._dev = None                        # device_loop.FrontEndState
+        self._pending: list[tuple] = []
+        self._obs_uv: list[np.ndarray] = []     # per keyframe: (N, 2)
+        self._obs_lm: list[np.ndarray] = []     # per keyframe: (N,) int32
+        self._obs_valid: list[np.ndarray] = []  # per keyframe: (N,) bool
+        # Landmark spawn records, reconstructed on drain: ids are
+        # assigned monotonically on device, so a record's "new" ids are
+        # exactly those >= the previous record's counter.
+        self._lm_first_uv = np.zeros((0, 2), np.float32)
+        self._lm_first_kf = np.zeros((0,), np.int32)
+        self._n_lm_drained = 0
         # Marginalization state (compact()): frozen trajectory prefix,
         # anchor poses for the kept window, and solved landmark positions
         # carried across compactions as initialization/scale memory.
-        self.track_loss_frames: list[int] = []
-        self._tracking_lost = False
-        self._max_alive = 0  # healthy-level reference for loss detection
         self.frozen_kf: list[int] = []
         self.frozen_r = np.zeros((0, 3, 3), np.float32)
         self.frozen_t = np.zeros((0, 3), np.float32)
@@ -133,118 +123,225 @@ class OdometrySession:
 
     def start(self, first_frame: np.ndarray) -> None:
         """Seed features on the first frame and record keyframe 0."""
-        import jax.numpy as jnp
-
-        from tpuflow.vo import tracking
-
-        frame = jnp.asarray(first_frame, jnp.float32)
-        self._tracks = tracking.seed_grid(frame, grid_step=self.grid_step)
-        self._prev_frame = frame
+        self._dev, obs0 = self._fe.init(
+            np.asarray(first_frame, np.float32)
+        )
         self.frame_index = 0
         self.keyframes = [0]
-        n = int(self._tracks.xy.shape[0])
-        self.track_lm = np.arange(n, dtype=np.int32)
-        self.lm_first_uv = np.asarray(self._tracks.xy, np.float32).copy()
-        self.lm_first_kf = np.zeros(n, np.int32)
-        self.n_landmarks = n
-        self._record()
+        self._pending.append((0, obs0))
 
     def process_frame(self, frame: np.ndarray) -> None:
-        """Advance tracks by dense flow prev->frame; record on keyframes."""
-        import jax.numpy as jnp
+        """Advance tracks by dense flow prev->frame; record on keyframes.
 
-        from tpuflow.vo import tracking
-
+        One device dispatch, no host readback: flow, track advance,
+        optional fb-check, loss detection, and keyframe reseeding all
+        happen inside the jitted step; the keyframe decision is
+        host-predictable (frame_index % keyframe_stride) so even the
+        observation snapshot is kept as device arrays."""
         if self.frame_index < 0:
             self.start(frame)
             return
-        cur = jnp.asarray(frame, jnp.float32)
-        prv = jnp.asarray(self._prev_frame)
-        prev_xy = self._tracks.xy
-        u, v = self._flow_fn(prv, cur)
-        self._tracks = tracking.advance(self._tracks, u, v)
-        if self.fb_check_threshold is not None:
-            ub, vb = self._flow_fn(cur, prv)
-            self._tracks = tracking.forward_backward_check(
-                self._tracks, prev_xy, ub, vb,
-                threshold=self.fb_check_threshold,
-            )
-        self._prev_frame = cur
-        self.frame_index += 1
-        # Tracking-loss detection (total occlusion, violent motion,
-        # dropped exposure): record the transition healthy -> lost so
-        # consumers know the trajectory segments around it are not
-        # metrically connected (reseeding restores tracking, but the
-        # monocular scale/anchor across the gap is unobservable).
-        # The threshold is relative to the session's PEAK alive count,
-        # not the grid capacity: sparse-texture scenes where many grid
-        # cells never seed would otherwise read as permanently "lost"
-        # and mask real losses.
-        alive_now = int(np.asarray(self._tracks.alive).sum())
-        self._max_alive = max(self._max_alive, alive_now)
-        lost = (
-            self._max_alive > 0 and alive_now < 0.25 * self._max_alive
+        self._dev, obs = self._fe.step(
+            self._dev, np.asarray(frame, np.float32)
         )
-        if lost and not self._tracking_lost:
-            self._tracking_lost = True
-            self.track_loss_frames.append(self.frame_index)
-        elif not lost and self._tracking_lost:
-            self._tracking_lost = False
+        self.frame_index += 1
         if self.frame_index % self.keyframe_stride == 0:
             self.keyframes.append(self.frame_index)
-            self._reseed(cur)
-            self._record()
+            self._pending.append((self.frame_index, obs))
 
-    def _record(self) -> None:
-        self.obs_uv.append(np.asarray(self._tracks.xy, np.float32))
-        self.obs_lm.append(self.track_lm.copy())
-        self.obs_valid.append(np.asarray(self._tracks.alive))
+    def process_frames(self, frames) -> None:
+        """Process a whole (T, H, W) frame chunk in ONE device dispatch.
 
-    def _reseed(self, frame) -> None:
-        """Refill dead track slots with fresh corners and new landmark
-        ids (their first observation is the current keyframe, so the
-        landmark back-projects from it at ``init_depth`` like every
-        other landmark)."""
-        from tpuflow.vo import tracking
-
-        alive = np.asarray(self._tracks.alive)
-        dead = ~alive
-        if not dead.any():
+        ``lax.scan`` over the same step ``process_frame`` runs —
+        identical results, but dispatch overhead (and, through a remote
+        tunnel, round-trip latency) is paid once per chunk instead of
+        once per frame. The chunk must fit in HBM alongside the model
+        (T*H*W*4 bytes); chunk long clips accordingly."""
+        frames = np.asarray(frames, np.float32)
+        if frames.ndim != 3:
+            raise ValueError(f"expected (T, H, W) frames, got {frames.shape}")
+        if self.frame_index < 0:
+            self.start(frames[0])
+            frames = frames[1:]
+        if frames.shape[0] == 0:
             return
-        fresh = tracking.seed_grid(frame, grid_step=self.grid_step)
-        good = np.asarray(fresh.alive) & dead
-        n_new = int(good.sum())
-        if n_new == 0:
+        import jax
+
+        self._dev, obs_stack = self._fe.scan_steps(self._dev, frames)
+        first = self.frame_index + 1
+        for i in range(frames.shape[0]):
+            fi = first + i
+            if fi % self.keyframe_stride == 0:
+                self.keyframes.append(fi)
+                # Device-side row slice — still no host sync.
+                self._pending.append(
+                    (fi, jax.tree.map(lambda a: a[i], obs_stack))
+                )
+        self.frame_index += frames.shape[0]
+
+    # -- lazy host materialization ------------------------------------------
+
+    def _drain(self) -> None:
+        """Materialize pending device ObsRecords into the NumPy mirrors
+        (one batched device_get), reconstructing landmark spawn records
+        from the monotone id counter."""
+        if not self._pending:
             return
+        import jax
+
+        recs = jax.device_get([rec for _, rec in self._pending])
+        for (gfi, _), rec in zip(self._pending, recs):
+            xy = np.asarray(rec.xy, np.float32)
+            lm = np.asarray(rec.lm, np.int32)
+            alive = np.asarray(rec.alive, bool)
+            n_lm = int(rec.n_landmarks)
+            self._obs_uv.append(xy)
+            self._obs_lm.append(lm)
+            self._obs_valid.append(alive)
+            if n_lm > self._n_lm_drained:
+                # Ids >= the previous counter were assigned at this
+                # keyframe; their first observation is this record's
+                # position at the slot that carries them. Ids ascend in
+                # slot order, so the sort is a stable identity — kept
+                # for robustness.
+                new = lm >= self._n_lm_drained
+                slots = np.where(new)[0]
+                order = np.argsort(lm[slots], kind="stable")
+                self._lm_first_uv = np.concatenate(
+                    [self._lm_first_uv, xy[slots][order]], axis=0
+                )
+                self._lm_first_kf = np.concatenate(
+                    [self._lm_first_kf,
+                     np.full(len(slots), gfi, np.int32)]
+                )
+                self._n_lm_drained = n_lm
+        self._pending.clear()
+
+    # Back-end-facing views. Getters drain pending device records;
+    # setters exist for compact()'s in-place rewrites and keep the
+    # device state (landmark counter, slot->id table) in sync.
+
+    @property
+    def obs_uv(self) -> list[np.ndarray]:
+        self._drain()
+        return self._obs_uv
+
+    @obs_uv.setter
+    def obs_uv(self, v) -> None:
+        self._obs_uv = list(v)
+
+    @property
+    def obs_lm(self) -> list[np.ndarray]:
+        self._drain()
+        return self._obs_lm
+
+    @obs_lm.setter
+    def obs_lm(self, v) -> None:
+        self._obs_lm = list(v)
+
+    @property
+    def obs_valid(self) -> list[np.ndarray]:
+        self._drain()
+        return self._obs_valid
+
+    @obs_valid.setter
+    def obs_valid(self, v) -> None:
+        self._obs_valid = list(v)
+
+    @property
+    def lm_first_uv(self) -> np.ndarray:
+        self._drain()
+        return self._lm_first_uv
+
+    @lm_first_uv.setter
+    def lm_first_uv(self, v) -> None:
+        self._lm_first_uv = np.asarray(v, np.float32)
+
+    @property
+    def lm_first_kf(self) -> np.ndarray:
+        self._drain()
+        return self._lm_first_kf
+
+    @lm_first_kf.setter
+    def lm_first_kf(self, v) -> None:
+        self._lm_first_kf = np.asarray(v, np.int32)
+
+    @property
+    def n_landmarks(self) -> int:
+        self._drain()
+        return self._n_lm_drained
+
+    @n_landmarks.setter
+    def n_landmarks(self, v: int) -> None:
         import jax.numpy as jnp
 
-        ids = self.track_lm.copy()
-        ids[good] = np.arange(
-            self.n_landmarks, self.n_landmarks + n_new, dtype=np.int32
-        )
-        self.track_lm = ids
-        self.n_landmarks += n_new
+        self._n_lm_drained = int(v)
+        if self._dev is not None:
+            self._dev = self._dev._replace(
+                n_landmarks=jnp.asarray(int(v), jnp.int32)
+            )
 
-        fresh_xy = np.asarray(fresh.xy, np.float32)
-        xy = np.asarray(self._tracks.xy, np.float32).copy()
-        start = np.asarray(self._tracks.start_xy, np.float32).copy()
-        age = np.asarray(self._tracks.age, np.int32).copy()
-        xy[good] = fresh_xy[good]
-        start[good] = fresh_xy[good]
-        age[good] = 0
-        self._tracks = tracking.Tracks(
-            xy=jnp.asarray(xy),
-            start_xy=jnp.asarray(start),
-            age=jnp.asarray(age),
-            alive=jnp.asarray(alive | good),
+    @property
+    def track_lm(self) -> np.ndarray:
+        """Current slot -> landmark id table (device readback)."""
+        return np.asarray(self._dev.track_lm, np.int32)
+
+    @track_lm.setter
+    def track_lm(self, v) -> None:
+        import jax.numpy as jnp
+
+        self._dev = self._dev._replace(
+            track_lm=jnp.asarray(np.asarray(v, np.int32))
         )
-        self.lm_first_uv = np.concatenate(
-            [self.lm_first_uv, fresh_xy[good]], axis=0
+
+    @property
+    def track_loss_frames(self) -> list[int]:
+        """Frame indices of healthy->lost transitions (device event log;
+        reading costs one small readback)."""
+        if self._dev is None:
+            return []
+        import jax
+
+        log, count = jax.device_get(
+            (self._dev.loss_frames, self._dev.loss_count)
         )
-        self.lm_first_kf = np.concatenate(
-            [self.lm_first_kf,
-             np.full(n_new, self.frame_index, np.int32)]
+        return [int(x) for x in log[: int(count)]]
+
+    @property
+    def _tracking_lost(self) -> bool:
+        if self._dev is None:
+            return False
+        return bool(np.asarray(self._dev.tracking_lost))
+
+    @property
+    def _max_alive(self) -> int:
+        if self._dev is None:
+            return 0
+        return int(np.asarray(self._dev.max_alive))
+
+    @property
+    def _tracks(self):
+        """Live track table as a tracking.Tracks of device arrays."""
+        from tpuflow.vo import tracking
+
+        if self._dev is None:
+            return None
+        return tracking.Tracks(
+            xy=self._dev.xy,
+            start_xy=self._dev.start_xy,
+            age=self._dev.age,
+            alive=self._dev.alive,
         )
+
+    @property
+    def _prev_frame(self):
+        """The last processed frame (device array). The untiled carry is
+        the frame's Gaussian pyramid ordered coarse->fine, so the raw
+        frame is its finest level."""
+        if self._dev is None:
+            return None
+        return self._dev.carry[0] if self.mesh is not None \
+            else self._dev.carry[-1]
 
     # -- solve -------------------------------------------------------------
 
@@ -545,9 +642,10 @@ class OdometrySession:
     # -- checkpointable state ---------------------------------------------
 
     def state_dict(self) -> dict:
-        """Array-only pytree capturing the full resumable state."""
-        from tpuflow.vo import tracking  # noqa: F401  (Tracks fields below)
+        """Array-only pytree capturing the full resumable state.
 
+        Materializes the device-resident front-end state (the one
+        intentional full sync point besides solve)."""
         t = self._tracks
         state = {
             "frame_index": np.int64(self.frame_index),
@@ -603,7 +701,7 @@ class OdometrySession:
     def from_state(cls, meta: dict, state: dict, mesh=None) -> "OdometrySession":
         import jax.numpy as jnp
 
-        from tpuflow.vo import tracking
+        from tpuflow.vo import device_loop
 
         # Tiled and untiled flow differ in saturation semantics
         # (rtl_clamp vs golden); silently switching on resume would
@@ -631,14 +729,6 @@ class OdometrySession:
         )
         sess.frame_index = int(state["frame_index"])
         sess.keyframes = [int(x) for x in np.asarray(state["keyframes"])]
-        # The >= 0 filter also accepts pre-round-3 checkpoints that
-        # encoded "empty" as a [-1] sentinel instead of an omitted key.
-        sess.track_loss_frames = [
-            int(x) for x in np.asarray(state.get("track_loss_frames", []))
-            if int(x) >= 0
-        ]
-        sess._tracking_lost = bool(int(state.get("tracking_lost", 0)))
-        sess._max_alive = int(state.get("max_alive", 0))
         sess.obs_uv = [
             np.asarray(x, np.float32) for x in np.asarray(state["obs_uv"])
         ]
@@ -648,13 +738,12 @@ class OdometrySession:
         sess.obs_valid = [
             np.asarray(x, bool) for x in np.asarray(state["obs_valid"])
         ]
-        sess.track_lm = np.asarray(state["track_lm"], np.int32)
         sess.lm_first_uv = np.asarray(state["lm_first_uv"], np.float32)
         sess.lm_first_kf = np.asarray(
             state.get("lm_first_kf", np.zeros(len(sess.lm_first_uv))),
             np.int32,
         )
-        sess.n_landmarks = int(state["n_landmarks"])
+        sess._n_lm_drained = int(state["n_landmarks"])
         sess.frozen_kf = [
             int(x) for x in np.asarray(state.get("frozen_kf", []))
         ]
@@ -674,12 +763,38 @@ class OdometrySession:
         sess.anchor_t = anchor_t if anchor_t.shape[0] else None
         lm_xyz = np.asarray(state.get("lm_xyz", np.zeros((0, 3))), np.float32)
         sess.lm_xyz = lm_xyz if lm_xyz.shape[0] else None
-        sess._prev_frame = np.asarray(state["prev_frame"], np.float32)
-        sess._tracks = tracking.Tracks(
+
+        # Rebuild the device-resident front-end state. The flow carry is
+        # recomputed from the saved previous frame — a pure function of
+        # it, so the resume stays bit-identical. The >= 0 filter on the
+        # loss log also accepts pre-round-3 checkpoints that encoded
+        # "empty" as a [-1] sentinel instead of an omitted key.
+        losses = [
+            int(x) for x in np.asarray(state.get("track_loss_frames", []))
+            if int(x) >= 0
+        ]
+        cap = device_loop.LOSS_LOG_CAP
+        log = np.full((cap,), -1, np.int32)
+        log[: min(len(losses), cap)] = losses[:cap]
+        sess._dev = device_loop.FrontEndState(
+            carry=sess._fe.carry_of_frame(
+                jnp.asarray(state["prev_frame"], jnp.float32)
+            ),
             xy=jnp.asarray(state["tracks_xy"], jnp.float32),
             start_xy=jnp.asarray(state["tracks_start_xy"], jnp.float32),
             age=jnp.asarray(state["tracks_age"], jnp.int32),
             alive=jnp.asarray(np.asarray(state["tracks_alive"], bool)),
+            track_lm=jnp.asarray(state["track_lm"], jnp.int32),
+            n_landmarks=jnp.asarray(int(state["n_landmarks"]), jnp.int32),
+            frame_index=jnp.asarray(sess.frame_index, jnp.int32),
+            max_alive=jnp.asarray(
+                int(state.get("max_alive", 0)), jnp.int32
+            ),
+            tracking_lost=jnp.asarray(
+                bool(int(state.get("tracking_lost", 0)))
+            ),
+            loss_frames=jnp.asarray(log),
+            loss_count=jnp.asarray(len(losses), jnp.int32),
         )
         return sess
 
