@@ -1,0 +1,327 @@
+"""VO trajectory verification: synthetic sequences with analytic pose
+ground truth, ATE/RPE scoring, and a committed-baseline regression gate.
+
+The trajectory-side twin of tpuflow.eval.verifier: the flow suite gates
+per-pattern MAE/EPE against a committed baseline with a 10% threshold
+(reference mechanism: python/optical_flow_verifier.py:586-634); this
+gates per-sequence ATE-RMSE / RPE the same way, so back-end changes
+(tracking, BA, pose graph) are regression-checked in CI like kernel
+changes are.
+
+Ground truth is exact: each sequence renders a textured fronto-parallel
+plane (depth ``PLANE_DEPTH``) under a known SE(3) camera trajectory via
+the planar homography ``H_{0->i} = K (R_i + t_i n^T / d) K^{-1}``
+(world frame = camera-0 frame, plane normal n = e_z), inverse-warped
+with bilinear sampling — no approximation between the pose ground truth
+and the pixels.
+
+CLI:
+    python -m tpuflow.eval.vo_verifier --compare-baseline
+    python -m tpuflow.eval.vo_verifier --update-baseline
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from datetime import datetime, timezone
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from tpuflow.eval import patterns as patterns_mod
+from tpuflow.eval.vo_metrics import trajectory_metrics
+
+VO_BASELINE = Path(__file__).parent / "data" / "vo_baseline.json"
+
+WIDTH, HEIGHT = 320, 240
+FX = FY = 300.0
+PLANE_DEPTH = 5.0
+N_FRAMES = 8
+GATED_METRICS = ("ate_rmse", "rpe_trans", "rpe_rot_deg")
+
+
+def _yaw(angle_rad: float) -> np.ndarray:
+    """Rotation about the camera y axis (pan)."""
+    c, s = np.cos(angle_rad), np.sin(angle_rad)
+    return np.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]])
+
+
+def _pose_from_center(r_wc: np.ndarray, center: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """world->camera (R, t) for a camera at ``center`` with cam->world
+    rotation ``r_wc``: R = r_wc^T, t = -R c."""
+    r = r_wc.T
+    return r, -(r @ np.asarray(center, np.float64))
+
+
+# ---------------------------------------------------------------------------
+# Sequence definitions — each returns (K, 3, 3) / (K, 3) world->camera
+# ground-truth poses. Motions sized for ~1-2 px/frame image flow at
+# fx=300, depth=5 (LK's comfortable regime; larger steps belong to the
+# flow suite's translate_large-style stress patterns, not the VO ruler).
+# ---------------------------------------------------------------------------
+
+
+def _poses_strafe(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Pure lateral translation: +0.02 world units/frame along x
+    (1.2 px/frame image shift)."""
+    rs, ts = [], []
+    for i in range(n):
+        r, t = _pose_from_center(np.eye(3), [0.02 * i, 0.0, 0.0])
+        rs.append(r)
+        ts.append(t)
+    return np.stack(rs), np.stack(ts)
+
+
+def _poses_dolly(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Forward translation toward the plane: +0.02/frame along z
+    (zoom-like radial flow, <=0.9 px/frame at the frame corners)."""
+    rs, ts = [], []
+    for i in range(n):
+        r, t = _pose_from_center(np.eye(3), [0.0, 0.0, 0.02 * i])
+        rs.append(r)
+        ts.append(t)
+    return np.stack(rs), np.stack(ts)
+
+
+def _poses_arc(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Combined motion: lateral translation + 0.15 deg/frame yaw
+    (translation-plus-rotation, the hardest class for a planar scene)."""
+    rs, ts = [], []
+    for i in range(n):
+        r, t = _pose_from_center(
+            _yaw(np.radians(0.15) * i), [0.015 * i, 0.0, 0.0]
+        )
+        rs.append(r)
+        ts.append(t)
+    return np.stack(rs), np.stack(ts)
+
+
+SEQUENCES = {
+    "strafe_x": _poses_strafe,
+    "dolly_z": _poses_dolly,
+    "arc_yaw": _poses_arc,
+}
+
+
+def intrinsics() -> Tuple[float, float, float, float]:
+    return (FX, FY, WIDTH / 2.0, HEIGHT / 2.0)
+
+
+def render_sequence(
+    poses_r: np.ndarray,
+    poses_t: np.ndarray,
+    width: int = WIDTH,
+    height: int = HEIGHT,
+    depth: float = PLANE_DEPTH,
+) -> List[np.ndarray]:
+    """Render each camera's view of the textured plane Z = ``depth``.
+
+    Frame i is the base texture inverse-warped by H_{0->i}^{-1}: a pixel
+    x_i in camera i images the plane point that camera 0 sees at
+    x_0 ~ H^{-1} x_i, H = K (R_i + t_i n^T / d) K^{-1}. Bilinear
+    sampling, edge-replicated out-of-frame (matching the VO tests'
+    convention so border tracks stay textured).
+    """
+    from scipy.ndimage import map_coordinates
+
+    base = patterns_mod.load_base_texture(width, height).astype(np.float32)
+    fx, fy, cx, cy = intrinsics()
+    k_mat = np.array([[fx, 0.0, cx], [0.0, fy, cy], [0.0, 0.0, 1.0]])
+    k_inv = np.linalg.inv(k_mat)
+    n_vec = np.array([0.0, 0.0, 1.0])
+
+    xs, ys = np.meshgrid(np.arange(width), np.arange(height))
+    pix_h = np.stack([xs, ys, np.ones_like(xs)], axis=0).reshape(3, -1)
+
+    frames = []
+    for r, t in zip(poses_r, poses_t):
+        h_mat = k_mat @ (np.asarray(r, np.float64) + np.outer(np.asarray(t, np.float64), n_vec) / depth) @ k_inv
+        src = np.linalg.inv(h_mat) @ pix_h
+        src = src[:2] / src[2:3]
+        frame = map_coordinates(
+            base,
+            [src[1].reshape(height, width), src[0].reshape(height, width)],
+            order=1,
+            mode="nearest",
+        )
+        frames.append(frame.astype(np.float32))
+    return frames
+
+
+# ---------------------------------------------------------------------------
+# Verification + baseline regression
+# ---------------------------------------------------------------------------
+
+
+def verify_sequence(
+    name: str,
+    n_frames: int = N_FRAMES,
+    backend: str = "jnp",
+    ba_iterations: int = 10,
+    verbose: bool = True,
+) -> Dict[str, Any]:
+    """Render one sequence, run the full VO pipeline, score ATE/RPE."""
+    from tpuflow.vo.pipeline import run_odometry
+
+    gt_r, gt_t = SEQUENCES[name](n_frames)
+    frames = render_sequence(gt_r, gt_t)
+    result = run_odometry(
+        frames,
+        intrinsics(),
+        init_depth=PLANE_DEPTH,
+        ba_iterations=ba_iterations,
+        backend=backend,
+    )
+    # Keyframe stride is 1 here, so keyframe poses line up 1:1 with the
+    # ground-truth frames.
+    kf = result.keyframe_indices
+    metrics = trajectory_metrics(
+        result.poses_r, result.poses_t, gt_r[kf], gt_t[kf]
+    )
+    metrics["mean_reprojection_error"] = float(result.mean_reprojection_error)
+    if verbose:
+        print(
+            f"{name:12s} ate_rmse={metrics['ate_rmse']:.5f} "
+            f"rpe_trans={metrics['rpe_trans']:.5f} "
+            f"rpe_rot={metrics['rpe_rot_deg']:.4f}deg "
+            f"scale={metrics['scale']:.3f} "
+            f"reproj={metrics['mean_reprojection_error']:.3f}px "
+            f"tracks={result.track_count}"
+        )
+    return {
+        "sequence": name,
+        "n_frames": n_frames,
+        "metrics": metrics,
+        "track_count": int(result.track_count),
+    }
+
+
+def run_suite(
+    sequence_names: Optional[List[str]] = None,
+    backend: str = "jnp",
+    verbose: bool = True,
+) -> List[Dict[str, Any]]:
+    names = sequence_names or list(SEQUENCES)
+    unknown = [n for n in names if n not in SEQUENCES]
+    if unknown:
+        raise SystemExit(
+            f"Unknown sequence(s): {', '.join(unknown)}. "
+            f"Available: {', '.join(SEQUENCES)}"
+        )
+    return [verify_sequence(n, backend=backend, verbose=verbose) for n in names]
+
+
+def compare_against_baseline(
+    results: List[Dict[str, Any]],
+    baseline_path: Path = VO_BASELINE,
+    threshold_percent: float = 10.0,
+    abs_floor: float = 1e-4,
+    verbose: bool = True,
+    backend: str | None = None,
+) -> bool:
+    """True = no regressions. Same 10% rule as the flow verifier, with an
+    absolute floor: a metric change only flags if it ALSO exceeds
+    ``abs_floor`` in absolute terms, so near-zero baselines (e.g.
+    rpe_rot on a pure-translation sequence) don't gate on numerical
+    dust the way the flow suite's exact-zero no_motion rows can."""
+    if not baseline_path.exists():
+        print(f"No VO baseline at {baseline_path}; skipping regression check.")
+        return True
+    doc = json.loads(baseline_path.read_text())
+    base_backend = doc.get("backend")
+    if backend is not None and base_backend is not None and backend != base_backend:
+        print(
+            f"PROVENANCE MISMATCH: VO baseline captured with backend="
+            f"{base_backend!r} but this run uses backend={backend!r}."
+        )
+        return False
+    baseline = doc.get("sequences", {})
+    all_passed = True
+    for result in results:
+        name = result["sequence"]
+        if name not in baseline:
+            if verbose:
+                print(f"  {name}: not in baseline (skipping)")
+            continue
+        for metric in GATED_METRICS:
+            curr = result["metrics"][metric]
+            base = baseline[name]["metrics"][metric]
+            if abs(curr - base) <= abs_floor:
+                continue
+            if base <= abs_floor:
+                all_passed = False
+                print(f"  REGRESSION {name}: {metric} {curr:.5f} (baseline ~0)")
+                continue
+            change = 100.0 * (curr - base) / base
+            if abs(change) > threshold_percent:
+                all_passed = False
+                print(
+                    f"  REGRESSION {name}: {metric} {change:+.1f}% "
+                    f"(current={curr:.5f}, baseline={base:.5f})"
+                )
+    if verbose:
+        print(
+            "VO regression check: "
+            + ("all sequences within threshold" if all_passed else "FAILURES detected")
+        )
+    return all_passed
+
+
+def update_baseline(
+    results: List[Dict[str, Any]],
+    baseline_path: Path = VO_BASELINE,
+    backend: str | None = None,
+) -> None:
+    data: Dict[str, Any] = {
+        "version": "1.0",
+        "timestamp": datetime.now(timezone.utc).isoformat(),
+        "sequences": {r["sequence"]: r for r in results},
+    }
+    if backend is not None:
+        data["backend"] = backend
+    baseline_path.parent.mkdir(parents=True, exist_ok=True)
+    baseline_path.write_text(json.dumps(data, indent=2))
+    print(f"VO baseline updated: {baseline_path}")
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(
+        description="Verify VO trajectory accuracy (ATE/RPE) on synthetic "
+        "sequences with analytic pose ground truth"
+    )
+    parser.add_argument("--sequence", type=str, nargs="+", default=None)
+    parser.add_argument("--backend", type=str, default="jnp", choices=["jnp", "pallas"])
+    parser.add_argument("--frames", type=int, default=N_FRAMES)
+    parser.add_argument("--ba-iterations", type=int, default=10)
+    parser.add_argument("--compare-baseline", action="store_true")
+    parser.add_argument("--update-baseline", action="store_true")
+    parser.add_argument("--regression-threshold", type=float, default=10.0)
+    parser.add_argument("--baseline", type=str, default=str(VO_BASELINE))
+    args = parser.parse_args()
+
+    names = args.sequence or list(SEQUENCES)
+    results = [
+        verify_sequence(
+            n, n_frames=args.frames, backend=args.backend,
+            ba_iterations=args.ba_iterations,
+        )
+        for n in names
+    ]
+
+    if args.update_baseline:
+        update_baseline(results, Path(args.baseline), backend=args.backend)
+    if args.compare_baseline:
+        ok = compare_against_baseline(
+            results, Path(args.baseline), args.regression_threshold,
+            backend=args.backend,
+        )
+        if not ok:
+            print("\nVO regression detected! Review changes before committing.")
+            sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
