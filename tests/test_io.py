@@ -53,3 +53,34 @@ def test_visualize_diagnostic(tmp_path, rng):
     out = tmp_path / "diag.png"
     visualize.diagnostic_panel(u, v, out, compare_uv=(u * 0.9, v))
     assert out.exists() and out.stat().st_size > 1000
+
+
+def test_device_pairs_matches_host_pairs(tmp_path):
+    """The double-buffered H2D path (io.stream.device_pairs) must be a
+    pure transport change: same pair ordering and bit-identical values
+    as the host-side pairs() iterator, every frame uploaded once."""
+    import jax
+    import numpy as np
+
+    from tpuflow.io import frames as fio
+    from tpuflow.io.stream import FrameStream, device_pairs
+
+    rng = np.random.default_rng(5)
+    paths = []
+    for i in range(5):
+        f = rng.uniform(0, 255, (24, 32)).astype(np.float32)
+        p = tmp_path / f"frame_{i:02d}.bin"
+        fio.save_frame_bin(p, f)
+        paths.append(p)
+
+    stream = FrameStream(paths, width=32, height=24)
+    host = list(FrameStream(paths, width=32, height=24).pairs())
+    dev = list(device_pairs(stream, lookahead=2))
+    assert len(dev) == len(host) == 4
+    for (hp, hc), (dp, dc) in zip(host, dev):
+        assert isinstance(dp, jax.Array) and isinstance(dc, jax.Array)
+        np.testing.assert_array_equal(np.asarray(dp), hp)
+        np.testing.assert_array_equal(np.asarray(dc), hc)
+    # Consecutive pairs share the middle frame's single upload.
+    for (_, c0), (p1, _) in zip(dev, dev[1:]):
+        assert c0 is p1

@@ -50,7 +50,7 @@ def _run_sequence(d, args) -> None:
 
     from tpuflow.core.config import PYRAMID_CONFIGS
     from tpuflow.flow import lucas_kanade_single_scale
-    from tpuflow.io.stream import FrameStream
+    from tpuflow.io.stream import FrameStream, device_pairs
 
     if d.is_file():
         # Video container input (host-side cv2 decode at native
@@ -93,15 +93,18 @@ def _run_sequence(d, args) -> None:
     n = 0
     mags = []  # device scalars — no per-pair host sync, dispatches pipeline
     t0 = None
-    for prev, curr in stream.pairs():
+    # device_pairs: each frame is device_put exactly once, two H2D
+    # transfers in flight ahead of the compute consuming them (the
+    # host-side double buffer; tpuflow.io.stream.prefetch_to_device).
+    for prev, curr in device_pairs(stream, lookahead=2):
         if args.pyramidal:
             if pyr_carry is None:
                 pyr_carry = jnp_ref.build_gaussian_pyramid(
-                    jnp.asarray(prev), cfg.levels, cfg.scale_factor
+                    prev, cfg.levels, cfg.scale_factor
                 )
-            u, v, pyr_carry = step(pyr_carry, jnp.asarray(curr))
+            u, v, pyr_carry = step(pyr_carry, curr)
         else:
-            u, v = fn(jnp.asarray(prev), jnp.asarray(curr))
+            u, v = fn(prev, curr)
         if t0 is None:  # exclude the first pair's compile
             u.block_until_ready()
             t0 = time.perf_counter()

@@ -62,3 +62,43 @@ class FrameStream:
             if prev is not None:
                 yield prev, frame
             prev = frame
+
+    def device_pairs(self, lookahead: int = 2):
+        """Consecutive (prev, curr) pairs as DEVICE arrays, H2D
+        double-buffered (see :func:`device_pairs`)."""
+        return device_pairs(self, lookahead=lookahead)
+
+
+def prefetch_to_device(frames, lookahead: int = 2):
+    """Stream frames to the device ``lookahead`` ahead of consumption.
+
+    ``jax.device_put`` is asynchronous: it *initiates* the H2D copy and
+    returns immediately, so holding a small deque of in-flight transfers
+    overlaps each upload with the compute consuming the previous frames —
+    the host-side half of the double buffering the kernels already do
+    HBM->VMEM (pallas_lk._dma_slabs), and the TPU analog of the
+    reference's frame buffer streaming pixels while the pipeline computes
+    (rtl/common/frame_buffer_simple.sv:60-94). Each frame is uploaded
+    exactly once (the naive per-pair ``jnp.asarray(prev), jnp.asarray
+    (curr)`` uploads every frame twice)."""
+    import collections
+
+    import jax
+
+    q: collections.deque = collections.deque()
+    for frame in frames:
+        q.append(jax.device_put(frame))
+        while len(q) > lookahead:
+            yield q.popleft()
+    while q:
+        yield q.popleft()
+
+
+def device_pairs(frames, lookahead: int = 2):
+    """Consecutive (prev, curr) DEVICE-array pairs from a host frame
+    iterable, with ``lookahead`` H2D transfers in flight."""
+    prev = None
+    for frame in prefetch_to_device(frames, lookahead=lookahead):
+        if prev is not None:
+            yield prev, frame
+        prev = frame
