@@ -440,3 +440,58 @@ def test_pyramidal_narrow_vertical_config(frame_pair):
     # Within the verifier's 10% regression envelope of the full band.
     assert mae_u_n <= mae_u_d * 1.10
     assert mae_v_n <= mae_v_d * 1.10
+
+
+def test_pyramidal_adaptive_vertical_pallas_dispatch(frame_pair):
+    """The adaptive band's lax.switch dispatch composes with the pallas
+    kernels (switch-of-pallas-calls, no vmap): on the horizontally-
+    dominant pair it must reproduce the narrow band's fine levels — same
+    composed result as in the jnp twin test
+    (tests/test_pyramidal.py::test_adaptive_band_picks_narrow_...)."""
+    import dataclasses
+
+    from tpuflow.core.config import PYRAMID_CONFIGS
+    from tpuflow.flow import lucas_kanade_pyramidal
+    from tpuflow.flow.pyramidal import _refine_level
+    from tpuflow.kernels import jnp_ref
+
+    prev, curr = (jnp.asarray(f) for f in frame_pair)  # 2 px horizontal
+    cfg_a = PYRAMID_CONFIGS["adaptive_vertical"]
+    cfg_full = dataclasses.replace(cfg_a, adaptive_v_bands=None)
+    cfg_n3 = dataclasses.replace(cfg_a, adaptive_v_bands=None, max_disp_v=3)
+    with pltpu.force_tpu_interpret_mode():
+        u_a, v_a = lucas_kanade_pyramidal(
+            prev, curr, config=cfg_a, backend="pallas"
+        )
+        pp = jnp_ref.build_gaussian_pyramid(prev, 3)
+        pc = jnp_ref.build_gaussian_pyramid(curr, 3)
+        u = jnp.zeros(pp[0].shape)
+        v = jnp.zeros(pp[0].shape)
+        u, v = _refine_level(pp[0], pc[0], u, v, cfg_full, "pallas")
+        for lvl in (1, 2):
+            u, v = jnp_ref.upsample_flow(u, v, pp[lvl].shape)
+            u, v = _refine_level(pp[lvl], pc[lvl], u, v, cfg_n3, "pallas")
+    np.testing.assert_array_equal(np.asarray(u_a), np.asarray(u))
+    np.testing.assert_array_equal(np.asarray(v_a), np.asarray(v))
+
+
+def test_relaxed_order_window_sums_close(rng):
+    """Shift-tree window sums (relaxed_order=True) match the exact-order
+    kernel to f32 reassociation rounding — for 5x5 and 7x7 windows."""
+    from tpuflow.flow import lucas_kanade_single_scale
+
+    prev = jnp.asarray(rng.uniform(0, 255, (48, 160)).astype(np.float32))
+    curr = jnp.roll(prev, 1, axis=1)
+    for w in (3, 5, 7):
+        with pltpu.force_tpu_interpret_mode():
+            ue, ve = lucas_kanade_single_scale(prev, curr, w, backend="pallas")
+            ur, vr = lucas_kanade_single_scale(
+                prev, curr, w, backend="pallas", relaxed_order=True
+            )
+        np.testing.assert_allclose(np.asarray(ur), np.asarray(ue), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(vr), np.asarray(ve), atol=1e-4)
+    # The border/det-gate semantics are unchanged: zeros stay exact.
+    with pltpu.force_tpu_interpret_mode():
+        u0, v0 = lucas_kanade_single_scale(prev, prev, backend="pallas",
+                                           relaxed_order=True)
+    assert np.all(np.asarray(u0) == 0) and np.all(np.asarray(v0) == 0)

@@ -132,3 +132,118 @@ def test_streaming_step_matches_pairwise(frame_pair):
         up, vp = lucas_kanade_pyramidal(p, c)
         np.testing.assert_array_equal(us, np.asarray(up))
         np.testing.assert_array_equal(vs, np.asarray(vp))
+
+
+# ---------------------------------------------------------------------------
+# Adaptive vertical band (PyramidConfig.adaptive_v_bands): the coarse
+# solve picks each finer level's band at the level boundary (lax.switch
+# over precompiled variants — in-kernel gating measured harmful,
+# DESIGN.md §3).
+# ---------------------------------------------------------------------------
+
+
+def _pattern_pair(name):
+    from tpuflow.eval import patterns
+
+    mp = patterns.TEST_PATTERNS[name]
+    f0 = patterns.load_base_texture(320, 240)
+    f1 = patterns.apply_motion(f0, mp)
+    return jnp.asarray(f0, jnp.float32), jnp.asarray(f1, jnp.float32)
+
+
+def test_select_band_index_masked_interior():
+    """Border garbage must not widen the band; real interior motion must."""
+    from tpuflow.flow.pyramidal import _select_band_index
+
+    v = jnp.zeros((240, 320))
+    assert int(_select_band_index(v, (3, 8), 0.005, 26)) == 0
+    # Saturated garbage confined to the border stripe: still narrow.
+    v_border = v.at[:, :20].set(8.0).at[:10, :].set(-8.0)
+    assert int(_select_band_index(v_border, (3, 8), 0.005, 26)) == 0
+    # A real moving region in the interior: widen.
+    v_blob = v.at[100:160, 120:220].set(6.0)
+    assert int(_select_band_index(v_blob, (3, 8), 0.005, 26)) == 1
+    # Sparse interior outliers below the fraction threshold: narrow.
+    v_dust = v.at[100, 100:130].set(8.0)
+    assert int(_select_band_index(v_dust, (3, 8), 0.005, 26)) == 0
+    # Three candidates: counts are monotone, index picks the middle.
+    v_mid = v.at[100:160, 120:220].set(3.5)
+    assert int(_select_band_index(v_mid, (3, 5, 8), 0.005, 26)) == 1
+
+
+def test_adaptive_band_config_validation():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        PyramidConfig(adaptive_v_bands=(8, 3))
+    with _pytest.raises(ValueError):
+        PyramidConfig(adaptive_v_bands=(3,))
+    with _pytest.raises(ValueError):
+        PyramidConfig(adaptive_v_bands=(3, 9), max_disp=8)
+
+
+def test_adaptive_band_picks_full_on_vertical_motion():
+    """translate_vertical (GT v=10): every level boundary must select the
+    full band, making the adaptive output bit-identical to the static
+    full-band fast path — the accuracy contract the static narrow band
+    breaks (EPE 2.92 -> 8.00, docs/verification_results_pallas.md)."""
+    import dataclasses
+
+    from tpuflow.core.config import PYRAMID_CONFIGS
+
+    f0, f1 = _pattern_pair("translate_vertical")
+    cfg_a = PYRAMID_CONFIGS["adaptive_vertical"]
+    cfg_full = dataclasses.replace(cfg_a, adaptive_v_bands=None)
+    ua, va = lucas_kanade_pyramidal(
+        f0, f1, config=cfg_a, backend="jnp", rtl_clamp=True
+    )
+    uf, vf = lucas_kanade_pyramidal(
+        f0, f1, config=cfg_full, backend="jnp", rtl_clamp=True
+    )
+    np.testing.assert_array_equal(np.asarray(ua), np.asarray(uf))
+    np.testing.assert_array_equal(np.asarray(va), np.asarray(vf))
+
+
+def test_adaptive_band_picks_narrow_on_horizontal_motion():
+    """translate_medium (GT v=0): both finer levels must select the
+    narrow band — bit-identical to a manually composed L0-full /
+    L1+-narrow run (the coarsest level always runs the full band)."""
+    import dataclasses
+
+    from tpuflow.core.config import PYRAMID_CONFIGS
+    from tpuflow.flow.pyramidal import _refine_level
+
+    f0, f1 = _pattern_pair("translate_medium")
+    cfg_a = PYRAMID_CONFIGS["adaptive_vertical"]
+    cfg_full = dataclasses.replace(cfg_a, adaptive_v_bands=None)
+    cfg_n3 = dataclasses.replace(cfg_a, adaptive_v_bands=None, max_disp_v=3)
+
+    ua, va = lucas_kanade_pyramidal(
+        f0, f1, config=cfg_a, backend="jnp", rtl_clamp=True
+    )
+    pp = jnp_ref.build_gaussian_pyramid(f0, 3)
+    pc = jnp_ref.build_gaussian_pyramid(f1, 3)
+    u = jnp.zeros(pp[0].shape)
+    v = jnp.zeros(pp[0].shape)
+    u, v = _refine_level(pp[0], pc[0], u, v, cfg_full, "jnp", True)
+    for lvl in (1, 2):
+        u, v = jnp_ref.upsample_flow(u, v, pp[lvl].shape)
+        u, v = _refine_level(pp[lvl], pc[lvl], u, v, cfg_n3, "jnp", True)
+    np.testing.assert_array_equal(np.asarray(ua), np.asarray(u))
+    np.testing.assert_array_equal(np.asarray(va), np.asarray(v))
+
+
+def test_adaptive_band_ignored_in_parity_mode():
+    """The jnp parity path has no clamps, so adaptive_v_bands must be a
+    no-op there (golden-model semantics preserved)."""
+    from tpuflow.core.config import PYRAMID_CONFIGS
+
+    f0, f1 = _pattern_pair("translate_medium")
+    ua, va = lucas_kanade_pyramidal(
+        f0, f1, config=PYRAMID_CONFIGS["adaptive_vertical"], backend="jnp"
+    )
+    ud, vd = lucas_kanade_pyramidal(
+        f0, f1, config=PYRAMID_CONFIGS["default"], backend="jnp"
+    )
+    np.testing.assert_array_equal(np.asarray(ua), np.asarray(ud))
+    np.testing.assert_array_equal(np.asarray(va), np.asarray(vd))

@@ -45,7 +45,48 @@ class PyramidConfig:
     # *slightly better* suite metrics (the clamp regularizes garbage
     # vectors). None = max_disp (full parity-band behavior).
     max_disp_v: int | None = None
+    # Adaptive per-level vertical band (fast path / rtl_clamp only):
+    # ascending candidate bands, e.g. (3, 8). At each level boundary the
+    # coarse level's solved flow — already upsampled to the new level —
+    # picks the narrowest candidate whose clamp would be inactive on the
+    # masked interior (border-margin excluded: warp-OOB/clamp garbage
+    # there is what broke the earlier global-max dispatch, DESIGN.md §3),
+    # and ``lax.switch`` dispatches one of the precompiled refine
+    # variants. In-kernel gating was measured harmful (scalar reduce +
+    # scf.if serialize the vector pipeline); level-boundary dispatch
+    # executes exactly one variant per level per frame. The coarsest
+    # level (tiny, cheap) always runs the full band. None = static band
+    # (``max_disp_v`` everywhere).
+    adaptive_v_bands: tuple[int, ...] | None = None
+    # A candidate band b is rejected if more than this fraction of
+    # interior pixels carry |v| > b - 1 (the 1 px headroom absorbs
+    # within-level residual growth). Fraction-based so a handful of
+    # outlier vectors anywhere cannot force the wide band, while any
+    # real moving region (>0.5% of the frame) still does.
+    adaptive_v_frac: float = 0.005
+    # Relaxed-parity fast math (backend="pallas" only): reassociate the
+    # 5x5 window sums into pairwise-doubling shift trees
+    # (pallas_lk._sliding_sum_tree) — 3 adds/3 shifted views per axis
+    # instead of 4/4. Changes f32 rounding (not bit-parity with the
+    # golden model), so it carries its own committed regression baseline
+    # (tpuflow/eval/data/pallas_relaxed_baseline.json) like
+    # narrow_vertical does. The RTL's own window accumulator sums in
+    # adder trees too (rtl/unopt/window_accumulator.sv:150-167).
+    relaxed_order: bool = False
     description: str = ""
+
+    def __post_init__(self):
+        if self.adaptive_v_bands is not None:
+            bands = tuple(int(b) for b in self.adaptive_v_bands)
+            if len(bands) < 2 or list(bands) != sorted(set(bands)):
+                raise ValueError(
+                    f"adaptive_v_bands must be >=2 strictly ascending ints, got {bands}"
+                )
+            if bands[-1] > self.max_disp:
+                raise ValueError(
+                    f"adaptive_v_bands max {bands[-1]} exceeds max_disp {self.max_disp}"
+                )
+            object.__setattr__(self, "adaptive_v_bands", bands)
 
     @property
     def max_disp_v_effective(self) -> int:
@@ -78,5 +119,24 @@ PYRAMID_CONFIGS: dict[str, PyramidConfig] = {
     "narrow_vertical": PyramidConfig(
         levels=3, window_size=5, iterations=3, max_disp_v=3,
         description="3-level pyramid, vertical flow band narrowed to +-3 px",
+    ),
+    # Adaptive production config: runs at the narrow band's rate on
+    # horizontally-dominant streams but widens to the full band whenever
+    # the coarse-level solve sees real vertical motion — translate_
+    # vertical-class inputs keep full-band accuracy instead of silently
+    # saturating at +-3 (the static narrow band's failure mode,
+    # docs/verification_results_pallas.md).
+    "adaptive_vertical": PyramidConfig(
+        levels=3, window_size=5, iterations=3, adaptive_v_bands=(3, 8),
+        description="3-level pyramid, per-level vertical band selected "
+        "from the coarse solve (3 or 8 px)",
+    ),
+    # Relaxed-parity fast path: shift-tree window sums (see
+    # PyramidConfig.relaxed_order). Same flow semantics to f32
+    # reassociation rounding; own baseline column.
+    "relaxed_order": PyramidConfig(
+        levels=3, window_size=5, iterations=3, relaxed_order=True,
+        description="3-level pyramid, shift-tree window sums "
+        "(relaxed f32 summation order)",
     ),
 }

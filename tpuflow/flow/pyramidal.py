@@ -65,6 +65,7 @@ def _refine_level(
                 det_threshold=cfg.det_threshold,
                 max_disp=float(cfg.max_disp),
                 max_disp_v=float(cfg.max_disp_v_effective),
+                relaxed_order=cfg.relaxed_order,
             )
             now_converged = jnp.logical_and(
                 sdu / n_px < cfg.convergence_threshold,
@@ -115,6 +116,71 @@ def _refine_level(
     )
     u, v, _, _ = jax.lax.while_loop(cond, body, init)
     return u, v
+
+
+def _select_band_index(
+    flow_v: jax.Array,
+    bands: tuple[int, ...],
+    frac_threshold: float,
+    margin: int,
+) -> jax.Array:
+    """Index of the narrowest adequate vertical band, from the upsampled
+    coarse-level flow.
+
+    Masked-interior, fraction-based: candidate band ``b`` is rejected if
+    more than ``frac_threshold`` of interior |v| exceeds ``b - 1`` (1 px
+    headroom for residual growth within the level). The border margin
+    excludes warp-OOB / clamp garbage — the unmasked global max always
+    saturated at the clamp and defeated the earlier two-variant dispatch
+    (DESIGN.md §3); measured on translate_medium, the coarse level's
+    garbage stripe is (max_disp + window) px wide and upsampling doubles
+    it, so the margin must be 2x that (a 16 px margin still saw 0.87%
+    contaminated pixels; 24 px leaves 0.03%). Rejection counts are
+    monotone in b, so the index is just the number of rejected non-final
+    candidates.
+    """
+    h, w = flow_v.shape
+    m_y = min(margin, max((h - 1) // 2, 0))
+    m_x = min(margin, max((w - 1) // 2, 0))
+    interior = jnp.abs(flow_v[m_y : h - m_y, m_x : w - m_x])
+    n = interior.size
+    idx = jnp.asarray(0, jnp.int32)
+    for b in bands[:-1]:
+        frac = jnp.sum((interior > (b - 1.0)).astype(jnp.float32)) / n
+        idx = idx + (frac > frac_threshold).astype(jnp.int32)
+    return idx
+
+
+def _refine_level_adaptive(
+    img_prev: jax.Array,
+    img_curr: jax.Array,
+    flow_u: jax.Array,
+    flow_v: jax.Array,
+    cfg: PyramidConfig,
+    backend: Backend,
+    rtl_clamp: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """``_refine_level`` with the vertical band picked at the level
+    boundary: one precompiled variant per candidate band, dispatched by
+    ``lax.switch`` on the coarse solve's interior |v| statistics. On TPU
+    only the selected branch executes (outside vmap), so benign streams
+    pay the narrow band's warp cost while vertical motion keeps the full
+    band — the adaptive form of the static ``narrow_vertical`` trade.
+    """
+    import dataclasses
+
+    bands = cfg.adaptive_v_bands
+    assert bands is not None
+    margin = 2 * (cfg.max_disp + cfg.window_size)
+    idx = _select_band_index(flow_v, bands, cfg.adaptive_v_frac, margin)
+
+    def variant(b: int):
+        vcfg = dataclasses.replace(cfg, max_disp_v=b, adaptive_v_bands=None)
+        return lambda u, v: _refine_level(
+            img_prev, img_curr, u, v, vcfg, backend, rtl_clamp
+        )
+
+    return jax.lax.switch(idx, [variant(b) for b in bands], flow_u, flow_v)
 
 
 def lucas_kanade_pyramidal(
@@ -178,15 +244,29 @@ def lucas_kanade_pyramidal_from_pyramids(
     flow_u = jnp.zeros((h0, w0), pyr_prev[0].dtype)
     flow_v = jnp.zeros((h0, w0), pyr_prev[0].dtype)
 
+    # Adaptive vertical band applies only where the band exists at all
+    # (the clamped fast/rtl paths; the jnp parity path never clamps) and
+    # only at levels with a coarse predecessor to derive it from — the
+    # coarsest level always refines at the full band (it is tiny and its
+    # warp is cheap).
+    adaptive = cfg.adaptive_v_bands is not None and (
+        backend == "pallas" or rtl_clamp
+    )
+
     levels = []
     for level in range(cfg.levels):
         img_prev = pyr_prev[level]
         img_curr = pyr_curr[level]
         if level > 0:
             flow_u, flow_v = jnp_ref.upsample_flow(flow_u, flow_v, img_prev.shape)
-        flow_u, flow_v = _refine_level(
-            img_prev, img_curr, flow_u, flow_v, cfg, backend, rtl_clamp
-        )
+        if adaptive and level > 0:
+            flow_u, flow_v = _refine_level_adaptive(
+                img_prev, img_curr, flow_u, flow_v, cfg, backend, rtl_clamp
+            )
+        else:
+            flow_u, flow_v = _refine_level(
+                img_prev, img_curr, flow_u, flow_v, cfg, backend, rtl_clamp
+            )
         if return_levels:
             levels.append((flow_u, flow_v))
 
