@@ -20,7 +20,7 @@ cd "$(dirname "$0")/.."
 
 export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/tmp/jaxcache}"
 
-echo "== 1/3 fast-path suite vs committed pallas baseline =="
+echo "== 1/5 fast-path suite vs committed pallas baseline =="
 timeout 1500 python -m tpuflow.eval.verifier \
     --backend pallas \
     --compare-baseline \
@@ -28,7 +28,7 @@ timeout 1500 python -m tpuflow.eval.verifier \
     --output-dir /tmp/tpu_fastpath_results \
     --no-visualizations
 
-echo "== 2/3 narrow-band production config vs its committed baseline =="
+echo "== 2/5 narrow-band production config vs its committed baseline =="
 timeout 1500 python -m tpuflow.eval.verifier \
     --backend pallas \
     --pyramid-config narrow_vertical \
@@ -37,7 +37,25 @@ timeout 1500 python -m tpuflow.eval.verifier \
     --output-dir /tmp/tpu_fastpath_narrow \
     --no-visualizations
 
-echo "== 3/3 tiled-pallas single-chip smoke =="
+echo "== 3/5 adaptive-band production config vs its committed baseline =="
+timeout 1500 python -m tpuflow.eval.verifier \
+    --backend pallas \
+    --pyramid-config adaptive_vertical \
+    --compare-baseline \
+    --baseline tpuflow/eval/data/pallas_adaptive_baseline.json \
+    --output-dir /tmp/tpu_fastpath_adaptive \
+    --no-visualizations
+
+echo "== 4/5 relaxed-order config vs its committed baseline =="
+timeout 1500 python -m tpuflow.eval.verifier \
+    --backend pallas \
+    --pyramid-config relaxed_order \
+    --compare-baseline \
+    --baseline tpuflow/eval/data/pallas_relaxed_baseline.json \
+    --output-dir /tmp/tpu_fastpath_relaxed \
+    --no-visualizations
+
+echo "== 5/5 tiled-pallas single-chip smoke =="
 TPUFLOW_REAL_TPU=1 timeout 900 python -m pytest \
     tests/test_sharding.py::test_tiled_pallas_matches_single_pallas \
     -q --no-header

@@ -28,6 +28,7 @@ def lucas_kanade_single_scale(
     gaussian_weights: bool = False,
     backend: Backend = "jnp",
     return_confidence: bool = False,
+    relaxed_order: bool = False,
 ):
     """Dense (u, v) flow between two grayscale float32 frames.
 
@@ -40,6 +41,10 @@ def lucas_kanade_single_scale(
     tensor conditioning — high on texture, zero on the border and flat
     regions), identical across backends to f32 rounding; useful for
     track weighting and validity masking downstream.
+
+    ``relaxed_order=True`` (pallas only; ignored by the jnp golden
+    path) reassociates the window sums into shift trees — faster, not
+    bit-parity (PyramidConfig.relaxed_order).
     """
     if backend == "pallas":
         from tpuflow.kernels import pallas_lk
@@ -51,6 +56,7 @@ def lucas_kanade_single_scale(
             det_threshold=det_threshold,
             gaussian_weights=gaussian_weights,
             return_confidence=return_confidence,
+            relaxed_order=relaxed_order,
         )
     ix, iy, it = jnp_ref.compute_gradients(frame_prev, frame_curr)
     return jnp_ref.lucas_kanade_from_gradients(

@@ -91,10 +91,55 @@ def _dma_slabs(prev_hbm, curr_hbm, bufs, sems, *, n_tiles, tile_rows):
     return bufs[0, slot], bufs[1, slot]
 
 
+def _sliding_sum_tree(a, w: int, out_rows: int, out_cols: int):
+    """Sliding w-tap window sum over both axes by pairwise doubling.
+
+    The parity-exact ``wsum`` adds taps in the reference's sequential
+    order: w-1 adds and w-1 shifted views per axis. Doubling reuses
+    partial runs — run2 = a + shift(a,1), run4 = run2 + shift(run2,2),
+    ... then composes w from the binary decomposition — so a 5-tap sum
+    costs 3 adds / 3 shifted views per axis instead of 4 (7-tap: 4 vs
+    6). Reassociation changes f32 rounding, so this lives behind the
+    ``relaxed_order`` flag with its own regression baseline; the RTL
+    itself sums in adder *trees*, not sequentially
+    (rtl/unopt/window_accumulator.sv:150-167) — it is the Python golden
+    model whose order is sequential.
+    """
+
+    def axis_sum(x, axis: int, out_len: int):
+        full = x.shape[axis]
+
+        def sl(arr, off: int, ln: int):
+            starts = [0, 0]
+            starts[axis] = off
+            limits = list(arr.shape)
+            limits[axis] = off + ln
+            return jax.lax.slice(arr, tuple(starts), tuple(limits))
+
+        runs = {1: x}
+        c = 1
+        while c * 2 <= w:
+            r = runs[c]
+            ln = full - 2 * c + 1
+            runs[2 * c] = sl(r, 0, ln) + sl(r, c, ln)
+            c *= 2
+        out = None
+        off, rem = 0, w
+        for size in sorted(runs, reverse=True):
+            while rem >= size:
+                piece = sl(runs[size], off, out_len)
+                out = piece if out is None else out + piece
+                off += size
+                rem -= size
+        return out
+
+    return axis_sum(axis_sum(a, 0, out_rows), 1, out_cols)
+
+
 def _lk_tile(p, c, *, n_tiles: int, tile_rows: int, height: int,
              width: int, window: int, det_threshold: float,
              taps: tuple[float, ...] | None = None,
-             return_det: bool = False):
+             return_det: bool = False, relaxed_order: bool = False):
     """Core LK math on one (slab_h, wp) slab pair: gradients ->
     structure tensor -> Cramer solve -> interior-masked (u, v) tile.
 
@@ -136,6 +181,8 @@ def _lk_tile(p, c, *, n_tiles: int, tile_rows: int, height: int,
     # 125-DSP window_accumulator, rtl/unopt/window_accumulator.sv:112-167).
     def wsum(a):
         if taps is None:
+            if relaxed_order:
+                return _sliding_sum_tree(a, window, tile_rows, width)
             rows = a[0:tile_rows, :]
             for d in range(1, window):
                 rows = rows + a[d : tile_rows + d, :]
@@ -191,13 +238,15 @@ def _lk_tile(p, c, *, n_tiles: int, tile_rows: int, height: int,
 def _lk_kernel(prev_hbm, curr_hbm, u_ref, v_ref, bufs, sems,
                *, n_tiles: int, tile_rows: int, height: int, width: int,
                window: int, det_threshold: float,
-               taps: tuple[float, ...] | None = None):
+               taps: tuple[float, ...] | None = None,
+               relaxed_order: bool = False):
     p, c = _dma_slabs(
         prev_hbm, curr_hbm, bufs, sems, n_tiles=n_tiles, tile_rows=tile_rows
     )
     u, v = _lk_tile(
         p, c, n_tiles=n_tiles, tile_rows=tile_rows, height=height,
         width=width, window=window, det_threshold=det_threshold, taps=taps,
+        relaxed_order=relaxed_order,
     )
     u_ref[0] = u
     v_ref[0] = v
@@ -206,7 +255,8 @@ def _lk_kernel(prev_hbm, curr_hbm, u_ref, v_ref, bufs, sems,
 def _lk_conf_kernel(prev_hbm, curr_hbm, u_ref, v_ref, conf_ref, bufs, sems,
                     *, n_tiles: int, tile_rows: int, height: int,
                     width: int, window: int, det_threshold: float,
-                    taps: tuple[float, ...] | None = None):
+                    taps: tuple[float, ...] | None = None,
+                    relaxed_order: bool = False):
     """_lk_kernel plus the |det| confidence plane (texture/conditioning
     measure — free in-kernel, one extra HBM write when requested)."""
     p, c = _dma_slabs(
@@ -215,7 +265,7 @@ def _lk_conf_kernel(prev_hbm, curr_hbm, u_ref, v_ref, conf_ref, bufs, sems,
     u, v, conf = _lk_tile(
         p, c, n_tiles=n_tiles, tile_rows=tile_rows, height=height,
         width=width, window=window, det_threshold=det_threshold, taps=taps,
-        return_det=True,
+        return_det=True, relaxed_order=relaxed_order,
     )
     u_ref[0] = u
     v_ref[0] = v
@@ -226,7 +276,8 @@ def _lk_refine_kernel(prev_hbm, curr_hbm, u_in, v_in, conv_ref,
                       u_out, v_out, sdu_ref, sdv_ref, bufs, sems,
                       *, n_tiles: int, tile_rows: int, height: int,
                       width: int, window: int, det_threshold: float,
-                      max_disp: float, max_disp_v: float):
+                      max_disp: float, max_disp_v: float,
+                      relaxed_order: bool = False):
     """One fused refinement accumulate: residual LK on (prev, warped) +
     the coarse-to-fine bookkeeping the XLA driver otherwise pays three
     plane passes for — per-level flow clamp, convergence-latched
@@ -238,6 +289,7 @@ def _lk_refine_kernel(prev_hbm, curr_hbm, u_in, v_in, conv_ref,
     du, dv = _lk_tile(
         p, c, n_tiles=n_tiles, tile_rows=tile_rows, height=height,
         width=width, window=window, det_threshold=det_threshold,
+        relaxed_order=relaxed_order,
     )
     # RTL-style per-level saturation of the carried flow (the solver's
     # S8.7 clamp analog, flow_solver.sv:134-144), matching the driver's
@@ -274,6 +326,7 @@ def _window_taps(window_size: int, weight_sigma: float) -> tuple[float, ...]:
     static_argnames=(
         "window_size", "det_threshold", "tile_rows",
         "gaussian_weights", "weight_sigma", "return_confidence",
+        "relaxed_order",
     ),
 )
 def _fused_batched(
@@ -285,6 +338,7 @@ def _fused_batched(
     gaussian_weights: bool = False,
     weight_sigma: float = 1.0,
     return_confidence: bool = False,
+    relaxed_order: bool = False,
 ):
     """(B, H, W) batched fused LK (+ optional |det| confidence plane)."""
     bsz, h, w = frame_prev.shape
@@ -317,6 +371,7 @@ def _fused_batched(
         det_threshold=det_threshold,
         taps=_window_taps(window_size, weight_sigma) if gaussian_weights
         else None,
+        relaxed_order=relaxed_order,
     )
     n_out = 3 if return_confidence else 2
     plane_spec = pl.BlockSpec(
@@ -354,6 +409,7 @@ def _fused_batched(
     jax.jit,
     static_argnames=(
         "window_size", "det_threshold", "max_disp", "tile_rows", "max_disp_v",
+        "relaxed_order",
     ),
 )
 def _refine_batched(
@@ -367,6 +423,7 @@ def _refine_batched(
     max_disp: float,
     tile_rows: int | None,
     max_disp_v: float | None = None,
+    relaxed_order: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """(B, H, W) batched fused refine accumulate.
 
@@ -407,6 +464,7 @@ def _refine_batched(
         det_threshold=det_threshold,
         max_disp=max_disp,
         max_disp_v=max_disp_v,
+        relaxed_order=relaxed_order,
     )
     flow_spec = pl.BlockSpec(
         (1, th, w), lambda s: (s // n_tiles, s % n_tiles, 0),
@@ -456,6 +514,7 @@ def _refine_batched(
 def _make_refine(
     window_size: int, det_threshold: float, max_disp: float,
     tile_rows: int | None, max_disp_v: float | None = None,
+    relaxed_order: bool = False,
 ):
     """custom_vmap wrapper for one static refine configuration."""
 
@@ -464,6 +523,7 @@ def _make_refine(
         u2, v2, sdu, sdv = _refine_batched(
             prev[None], warped[None], u[None], v[None], conv[None],
             window_size, det_threshold, max_disp, tile_rows, max_disp_v,
+            relaxed_order,
         )
         return u2[0], v2[0], sdu[0], sdv[0]
 
@@ -476,7 +536,7 @@ def _make_refine(
             args.append(a)
         out = _refine_batched(
             *args, window_size, det_threshold, max_disp, tile_rows,
-            max_disp_v,
+            max_disp_v, relaxed_order,
         )
         return out, (True, True, True, True)
 
@@ -494,6 +554,7 @@ def lucas_kanade_refine(
     max_disp: float = 8.0,
     tile_rows: int | None = None,
     max_disp_v: float | None = None,
+    relaxed_order: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Fused coarse-to-fine refinement step.
 
@@ -514,23 +575,26 @@ def lucas_kanade_refine(
         return _refine_batched(
             frame_prev, warped, flow_u, flow_v, converged,
             window_size, det_threshold, max_disp, tile_rows, max_disp_v,
+            relaxed_order,
         )
     return _make_refine(
-        window_size, det_threshold, max_disp, tile_rows, max_disp_v
+        window_size, det_threshold, max_disp, tile_rows, max_disp_v,
+        relaxed_order,
     )(frame_prev, warped, flow_u, flow_v, converged)
 
 
 @functools.lru_cache(maxsize=None)
 def _make_fused(window_size: int, det_threshold: float, tile_rows: int | None,
                 gaussian_weights: bool = False, weight_sigma: float = 1.0,
-                return_confidence: bool = False):
+                return_confidence: bool = False,
+                relaxed_order: bool = False):
     """custom_vmap wrapper for one static configuration."""
 
     @jax.custom_batching.custom_vmap
     def fused(prev, curr):
         out = _fused_batched(
             prev[None], curr[None], window_size, det_threshold, tile_rows,
-            gaussian_weights, weight_sigma, return_confidence,
+            gaussian_weights, weight_sigma, return_confidence, relaxed_order,
         )
         return tuple(o[0] for o in out)
 
@@ -543,7 +607,7 @@ def _make_fused(window_size: int, det_threshold: float, tile_rows: int | None,
             curr = jnp.broadcast_to(curr, (axis_size,) + curr.shape)
         out = _fused_batched(
             prev, curr, window_size, det_threshold, tile_rows,
-            gaussian_weights, weight_sigma, return_confidence,
+            gaussian_weights, weight_sigma, return_confidence, relaxed_order,
         )
         return out, (True,) * len(out)
 
@@ -559,6 +623,7 @@ def lucas_kanade_fused(
     gaussian_weights: bool = False,
     weight_sigma: float = 1.0,
     return_confidence: bool = False,
+    relaxed_order: bool = False,
 ):
     """Fused dense LK flow: (u, v) = kernel(prev, curr).
 
@@ -576,9 +641,9 @@ def lucas_kanade_fused(
     if frame_prev.ndim == 3:
         return _fused_batched(
             frame_prev, frame_curr, window_size, det_threshold, tile_rows,
-            gaussian_weights, weight_sigma, return_confidence,
+            gaussian_weights, weight_sigma, return_confidence, relaxed_order,
         )
     return _make_fused(
         window_size, det_threshold, tile_rows, gaussian_weights,
-        weight_sigma, return_confidence,
+        weight_sigma, return_confidence, relaxed_order,
     )(frame_prev, frame_curr)
