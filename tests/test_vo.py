@@ -1344,3 +1344,50 @@ def test_loss_detection_peak_relative():
     for _ in range(4):
         sess.process_frame(frame.copy())
     assert sess.track_loss_frames == []  # stable sparse scene: no loss
+
+
+def test_session_pyramid_config_applied_and_checkpointed(tmp_path):
+    """The session's named flow config reaches the front-end (a 2-level
+    'shallow' run measurably differs from the 3-level default) and
+    round-trips through checkpoint meta — the resumed session continues
+    bit-identically to an uninterrupted shallow session."""
+    import pytest as _pytest
+    from scipy.ndimage import shift as nd_shift
+
+    from tpuflow.eval import patterns
+    from tpuflow.vo import checkpoint
+    from tpuflow.vo.pipeline import OdometrySession
+
+    with _pytest.raises(ValueError):
+        OdometrySession((150.0, 150.0, 80.0, 60.0), pyramid_config="nope")
+
+    base = patterns.load_base_texture(160, 120).astype(np.float32)
+    frames = [
+        nd_shift(base, (0.0, -1.2 * i), order=1, mode="nearest")
+        for i in range(5)
+    ]
+    intr = (150.0, 150.0, 80.0, 60.0)
+
+    def run(cfg, split=None, tmp=None):
+        s = OdometrySession(intr, grid_step=16, pyramid_config=cfg)
+        if split is None:
+            for f in frames:
+                s.process_frame(f)
+            return s.solve(ba_iterations=6)
+        for f in frames[:split]:
+            s.process_frame(f)
+        checkpoint.save(s, str(tmp))
+        r = checkpoint.load(str(tmp))
+        assert r.pyramid_config == cfg
+        for f in frames[split:]:
+            r.process_frame(f)
+        return r.solve(ba_iterations=6)
+
+    ref_default = run("default")
+    ref_shallow = run("shallow")
+    # The config changes the flow program (different pyramid depth).
+    assert not np.array_equal(ref_shallow.poses_t, ref_default.poses_t)
+    # Resume preserves the config and the bit-identical contract.
+    resumed = run("shallow", split=3, tmp=tmp_path / "ck")
+    np.testing.assert_array_equal(resumed.poses_r, ref_shallow.poses_r)
+    np.testing.assert_array_equal(resumed.poses_t, ref_shallow.poses_t)

@@ -92,6 +92,7 @@ def test_resume_rejects_constructor_flags(vo_frame_dir, tmp_path, capsys):
         ["--grid-step", "32"],
         ["--init-depth", "2.0"],
         ["--fb-check", "1.0"],
+        ["--pyramid-config", "shallow"],
     ):
         with pytest.raises(SystemExit) as exc:
             run_cli(

@@ -76,7 +76,9 @@ def profile_pipeline(
     stages = [
         (
             "fused LK (pallas)",
-            lambda x: pallas_lk.lucas_kanade_fused(x, curr)[0],
+            lambda x: pallas_lk.lucas_kanade_fused(
+                x, curr, relaxed_order=cfg.relaxed_order
+            )[0],
             16 * px,  # 2 frame reads + 2 flow writes
         ),
         (
@@ -159,6 +161,13 @@ def main() -> None:
                         help="named pyramid config (narrow_vertical "
                         "profiles the production vertical band)")
     parser.add_argument(
+        "--json", type=str, default=None, metavar="PATH",
+        help="additionally write the profile rows as JSON (the per-round "
+        "benchmark snapshots under benchmarks/, the analog of the "
+        "reference's committed raw-report directories, "
+        "benchmarks/unopt_baseline_20260216/metrics.txt)",
+    )
+    parser.add_argument(
         "--trace", type=str, default=None, metavar="DIR",
         help="additionally capture a jax.profiler device trace of one "
         "pyramidal solve into DIR (open with TensorBoard / xprof) — the "
@@ -168,6 +177,24 @@ def main() -> None:
     args = parser.parse_args()
     rows = profile_pipeline(args.height, args.width, args.config)
     print(format_report(rows, args.height, args.width))
+    if args.json:
+        import json
+        import platform
+        from datetime import datetime, timezone
+        from pathlib import Path
+
+        doc = {
+            "timestamp": datetime.now(timezone.utc).isoformat(),
+            "height": args.height,
+            "width": args.width,
+            "config": args.config,
+            "host": platform.node(),
+            "stages": rows,
+        }
+        path = Path(args.json)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(json.dumps(doc, indent=2))
+        print(f"profile snapshot -> {path}")
     if args.trace:
         import jax
         import jax.numpy as jnp

@@ -114,6 +114,10 @@ def main() -> None:
     parser.add_argument("--ba-iterations", type=int, default=8)
     parser.add_argument("--backend", type=str, default="jnp",
                         choices=["jnp", "pallas"])
+    parser.add_argument("--pyramid-config", type=str, default="default",
+                        help="named flow config for the front-end (e.g. "
+                        "adaptive_vertical for the production vertical "
+                        "band; see tpuflow.core.config.PYRAMID_CONFIGS)")
     parser.add_argument("--fb-check", type=float, default=None,
                         metavar="PX",
                         help="forward-backward flow consistency culling "
@@ -163,6 +167,8 @@ def main() -> None:
             ("--grid-step", args.grid_step, parser.get_default("grid_step")),
             ("--init-depth", args.init_depth,
              parser.get_default("init_depth")),
+            ("--pyramid-config", args.pyramid_config,
+             parser.get_default("pyramid_config")),
         ) if val != default]
         if overridden:
             print(f"error: {', '.join(overridden)} cannot change on "
@@ -222,6 +228,7 @@ def main() -> None:
             loop_closure=args.loop_closure,
             motion_prior_weight=args.motion_prior,
             fb_check_threshold=args.fb_check,
+            pyramid_config=args.pyramid_config,
         )
     else:
         from tpuflow.vo import checkpoint
@@ -237,6 +244,7 @@ def main() -> None:
                 grid_step=args.grid_step, init_depth=args.init_depth,
                 backend=args.backend,
                 fb_check_threshold=args.fb_check,
+                pyramid_config=args.pyramid_config,
             )
         n = 0
         for f in _chain_first(first, frame_iter):

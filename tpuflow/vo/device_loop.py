@@ -272,15 +272,19 @@ def _shared_front_end(
     keyframe_stride: int,
     fb_check_threshold: float | None,
     backend: str,
+    config: PyramidConfig | None = None,
 ) -> FrontEnd:
     """Mesh-less FrontEnds are stateless given their config — share them
     so every OdometrySession with the same settings reuses one set of
-    jitted (and compiled) functions instead of recompiling per session."""
+    jitted (and compiled) functions instead of recompiling per session.
+    PyramidConfig is a frozen dataclass, so it hashes into the cache
+    key."""
     return FrontEnd(
         grid_step=grid_step,
         keyframe_stride=keyframe_stride,
         fb_check_threshold=fb_check_threshold,
         backend=backend,
+        config=config,
     )
 
 
@@ -290,6 +294,7 @@ def get_front_end(
     fb_check_threshold: float | None,
     backend: str,
     mesh=None,
+    config: PyramidConfig | None = None,
 ) -> FrontEnd:
     if mesh is not None:
         # Meshes are unhashable runtime context; no sharing.
@@ -299,7 +304,8 @@ def get_front_end(
             fb_check_threshold=fb_check_threshold,
             backend=backend,
             mesh=mesh,
+            config=config,
         )
     return _shared_front_end(
-        grid_step, keyframe_stride, fb_check_threshold, backend
+        grid_step, keyframe_stride, fb_check_threshold, backend, config
     )

@@ -63,7 +63,9 @@ class OdometrySession:
         backend: str = "jnp",
         fb_check_threshold: float | None = None,
         mesh=None,
+        pyramid_config: str = "default",
     ) -> None:
+        from tpuflow.core.config import PYRAMID_CONFIGS
         from tpuflow.vo import device_loop
 
         self.intrinsics = tuple(float(x) for x in intrinsics)
@@ -71,6 +73,15 @@ class OdometrySession:
         self.grid_step = int(grid_step)
         self.init_depth = float(init_depth)
         self.backend = backend
+        # Named flow config for the front-end (the serving knob: e.g.
+        # "adaptive_vertical" runs the VO flow at the production band
+        # rate). Stored by NAME so it serializes into checkpoint meta.
+        if pyramid_config not in PYRAMID_CONFIGS:
+            raise ValueError(
+                f"unknown pyramid config {pyramid_config!r}; available: "
+                f"{', '.join(sorted(PYRAMID_CONFIGS))}"
+            )
+        self.pyramid_config = pyramid_config
         # Optional forward-backward flow consistency culling (px).
         self.fb_check_threshold = (
             None if fb_check_threshold is None else float(fb_check_threshold)
@@ -89,6 +100,7 @@ class OdometrySession:
             fb_check_threshold=self.fb_check_threshold,
             backend=backend,
             mesh=mesh,
+            config=PYRAMID_CONFIGS[pyramid_config],
         )
 
         # Mutable state (set by start / from_state).
@@ -695,6 +707,7 @@ class OdometrySession:
             "backend": self.backend,
             "fb_check_threshold": self.fb_check_threshold,
             "tiled": self.mesh is not None,
+            "pyramid_config": self.pyramid_config,
         }
 
     @classmethod
@@ -726,6 +739,7 @@ class OdometrySession:
             backend=meta["backend"],
             fb_check_threshold=meta.get("fb_check_threshold"),
             mesh=mesh,
+            pyramid_config=meta.get("pyramid_config", "default"),
         )
         sess.frame_index = int(state["frame_index"])
         sess.keyframes = [int(x) for x in np.asarray(state["keyframes"])]
@@ -808,6 +822,7 @@ def run_odometry(
     ba_iterations: int = 8,
     backend: str = "jnp",
     fb_check_threshold: float | None = None,
+    pyramid_config: str = "default",
 ) -> OdometryResult:
     """Track through ``frames`` and bundle-adjust the keyframe poses.
 
@@ -821,6 +836,7 @@ def run_odometry(
         init_depth=init_depth,
         backend=backend,
         fb_check_threshold=fb_check_threshold,
+        pyramid_config=pyramid_config,
     )
     for frame in frames:
         session.process_frame(frame)
@@ -843,6 +859,7 @@ def run_odometry_chunked(
     loop_weight: float = 5.0,
     motion_prior_weight: float = 0.0,
     fb_check_threshold: float | None = None,
+    pyramid_config: str = "default",
 ) -> "OdometryResult":
     """Local-BA + global pose-graph odometry (the classic SLAM split).
 
@@ -906,6 +923,7 @@ def run_odometry_chunked(
             grid_step=grid_step, init_depth=init_depth,
             ba_iterations=ba_iterations, backend=backend,
             fb_check_threshold=fb_check_threshold,
+            pyramid_config=pyramid_config,
         )
         last_result = res
         loss_frames.update(s + f for f in res.track_loss_frames)
