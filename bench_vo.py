@@ -45,6 +45,9 @@ def main() -> None:
     parser.add_argument("--fb-check", type=float, default=None,
                         help="also run the forward-backward culling flow "
                         "(roughly doubles flow work per frame)")
+    parser.add_argument("--pyramid-config", type=str, default="default",
+                        help="named flow config for the front-end "
+                        "(e.g. adaptive_vertical / narrow_vertical)")
     args = parser.parse_args()
 
     h, w = args.height, args.width
@@ -66,6 +69,7 @@ def main() -> None:
         (float(w), float(w), w / 2.0, h / 2.0),
         grid_step=args.grid_step, backend=backend,
         fb_check_threshold=args.fb_check,
+        pyramid_config=args.pyramid_config,
     )
     sess.start(f0)
     state0 = sess._dev
