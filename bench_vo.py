@@ -96,6 +96,8 @@ def main() -> None:
     fps = 1.0 / per_frame
     label = f"{w}x{h}"
     suffix = "_fb" if args.fb_check is not None else ""
+    if args.pyramid_config != "default":
+        suffix += f"_{args.pyramid_config}"
     print(
         json.dumps(
             {

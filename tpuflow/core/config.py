@@ -139,4 +139,14 @@ PYRAMID_CONFIGS: dict[str, PyramidConfig] = {
         description="3-level pyramid, shift-tree window sums "
         "(relaxed f32 summation order)",
     ),
+    # The serving default for production deployments: adaptive vertical
+    # band (narrow-band warp cost on benign streams, full-band accuracy
+    # whenever the coarse solve sees vertical motion) + relaxed-order
+    # LK kernels (-17% kernel time; ~1e-6 reassociation rounding). Own
+    # gated baseline like every non-parity config.
+    "production": PyramidConfig(
+        levels=3, window_size=5, iterations=3, adaptive_v_bands=(3, 8),
+        relaxed_order=True,
+        description="adaptive vertical band + relaxed-order kernels",
+    ),
 }
