@@ -138,6 +138,17 @@ def main() -> None:
                         metavar="W",
                         help="chunked mode: constant-velocity prior "
                         "weight (0 = off; odometry edges weigh 1.0)")
+    parser.add_argument("--imu", type=str, default=None, metavar="FILE",
+                        help="IMU samples (t wx wy wz ax ay az text, "
+                        "tpuflow.io.imu): preintegrated gyro rotation "
+                        "edges are added to the pose graph (--chunked "
+                        "only; needs --frame-rate)")
+    parser.add_argument("--frame-rate", type=float, default=None,
+                        help="frame rate in Hz, mapping frame indices to "
+                        "the IMU time axis (frame i at t = i / rate)")
+    parser.add_argument("--imu-weight", type=float, default=2.0,
+                        help="information scale of the gyro rotation "
+                        "edges relative to odometry edges (1.0)")
     parser.add_argument("--compact-window", type=int, default=None,
                         metavar="K",
                         help="incremental mode: marginalize to the last K "
@@ -189,6 +200,7 @@ def main() -> None:
     else:
         bad = [name for name, val in (
             ("--motion-prior", args.motion_prior),
+            ("--imu", args.imu),
             ("--loop-closure", args.loop_closure),
             ("--chunk-size",
              args.chunk_size != parser.get_default("chunk_size") or None),
@@ -221,6 +233,19 @@ def main() -> None:
             print("error: need >= 2 frames", file=sys.stderr)
             sys.exit(1)
         print(f"frames: {len(frames)}")
+        imu_data = None
+        frame_times = None
+        if args.imu:
+            if args.frame_rate is None:
+                print("error: --imu requires --frame-rate (to place "
+                      "frames on the IMU time axis)", file=sys.stderr)
+                sys.exit(2)
+            from tpuflow.io.imu import load_imu
+
+            imu_data = load_imu(args.imu)
+            frame_times = np.arange(len(frames)) / args.frame_rate
+            print(f"imu: {len(imu_data[0])} samples, gyro rotation "
+                  f"edges at weight {args.imu_weight}")
         res = run_odometry_chunked(
             frames, intr, chunk_size=args.chunk_size,
             grid_step=args.grid_step, init_depth=args.init_depth,
@@ -229,6 +254,8 @@ def main() -> None:
             motion_prior_weight=args.motion_prior,
             fb_check_threshold=args.fb_check,
             pyramid_config=args.pyramid_config,
+            imu=imu_data, frame_times=frame_times,
+            imu_weight=args.imu_weight,
         )
     else:
         from tpuflow.vo import checkpoint

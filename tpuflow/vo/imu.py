@@ -1,0 +1,195 @@
+"""IMU preintegration and gyro-aided pose-graph factors.
+
+On-manifold preintegration in the style of Forster et al. (PAPERS.md):
+between two keyframe timestamps, raw gyro/accelerometer samples are
+integrated ONCE into relative motion increments (dR, dv, dp) that are
+independent of the absolute state — the standard trick that keeps IMU
+rates (100-1000 Hz) out of the optimizer. The integrator is a
+``lax.scan`` (jittable, differentiable).
+
+What is wired into the trajectory solver: **gyro orientation factors**.
+Monocular VO's rotation estimate drifts with texture; the preintegrated
+gyro dR between consecutive keyframes is a direct, scale-free
+measurement of the same quantity, added to the pose graph as
+rotation-only edges (``PoseGraph.edge_mask`` zeroes the translation
+components, which a gyro does not observe). Accelerometer increments
+(dv, dp) are computed and tested but not yet tied into the graph —
+full IMU factors need velocity + bias states per keyframe, a larger
+state-space change recorded as future work (TODO.md).
+
+No reference counterpart (the reference stops at dense flow);
+SURVEY.md §5 lists the VO back-end as new-framework territory.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuflow.vo import se3
+
+
+class ImuIncrement(NamedTuple):
+    """Preintegrated motion over one interval, in the frame of the
+    starting body pose."""
+
+    delta_r: jax.Array  # (3, 3) rotation increment
+    delta_v: jax.Array  # (3,) velocity increment (gravity-free)
+    delta_p: jax.Array  # (3,) position increment (gravity-free)
+    dt: jax.Array       # scalar total duration
+
+
+def preintegrate(
+    gyro: jax.Array,
+    accel: jax.Array,
+    dt: jax.Array | float,
+    gyro_bias: jax.Array | None = None,
+    accel_bias: jax.Array | None = None,
+) -> ImuIncrement:
+    """Integrate raw IMU samples into an :class:`ImuIncrement`.
+
+    gyro, accel: (N, 3) body-frame angular velocity (rad/s) and specific
+    force (m/s^2). ``dt``: scalar sample period or (N,) per-sample
+    periods. Midpoint-free first-order scheme (each sample held for its
+    dt):
+
+        dR_{k+1} = dR_k @ Exp((w_k - b_g) dt)
+        dv_{k+1} = dv_k + dR_k (a_k - b_a) dt
+        dp_{k+1} = dp_k + dv_k dt + 0.5 dR_k (a_k - b_a) dt^2
+
+    Gravity is NOT removed here (raw specific force is integrated, as in
+    standard preintegration); consumers subtract g at the factor level.
+    """
+    gyro = jnp.asarray(gyro, jnp.float32)
+    accel = jnp.asarray(accel, jnp.float32)
+    n = gyro.shape[0]
+    dts = jnp.broadcast_to(jnp.asarray(dt, jnp.float32), (n,))
+    if gyro_bias is not None:
+        gyro = gyro - jnp.asarray(gyro_bias, jnp.float32)
+    if accel_bias is not None:
+        accel = accel - jnp.asarray(accel_bias, jnp.float32)
+
+    def step(carry, sample):
+        r, v, p = carry
+        w, a, h = sample
+        a_world = r @ a
+        p = p + v * h + 0.5 * a_world * h * h
+        v = v + a_world * h
+        r = r @ se3.so3_exp(w * h)
+        return (r, v, p), None
+
+    init = (jnp.eye(3), jnp.zeros(3), jnp.zeros(3))
+    (r, v, p), _ = jax.lax.scan(step, init, (gyro, accel, dts))
+    return ImuIncrement(delta_r=r, delta_v=v, delta_p=p, dt=dts.sum())
+
+
+def preintegrate_segments(
+    times: np.ndarray,
+    gyro: np.ndarray,
+    accel: np.ndarray,
+    boundaries: np.ndarray,
+) -> list[ImuIncrement]:
+    """Split a sample stream at ``boundaries`` timestamps and
+    preintegrate each [b_k, b_{k+1}) segment.
+
+    ``times``: (N,) monotone sample timestamps; ``boundaries``: (K,)
+    monotone keyframe timestamps. Returns K-1 increments. Samples
+    outside [b_0, b_{K-1}) are ignored. Segment lengths vary, so this
+    is a host-side loop (back-end path, not the serving loop); the
+    per-segment integration is the jitted scan.
+    """
+    times = np.asarray(times, np.float64)
+    boundaries = np.asarray(boundaries, np.float64)
+    if len(boundaries) < 2:
+        return []
+    if not (np.diff(times) > 0).all():
+        raise ValueError("IMU timestamps must be strictly increasing")
+    if not (np.diff(boundaries) > 0).all():
+        raise ValueError("boundary timestamps must be strictly increasing")
+    out = []
+    # Sample k covers [t_k, t_{k+1}); the last sample gets the median dt.
+    dts = np.diff(times)
+    dts = np.append(dts, np.median(dts) if len(dts) else 0.0)
+    for k in range(len(boundaries) - 1):
+        lo, hi = boundaries[k], boundaries[k + 1]
+        sel = (times >= lo) & (times < hi)
+        if not sel.any():
+            out.append(
+                ImuIncrement(
+                    delta_r=jnp.eye(3), delta_v=jnp.zeros(3),
+                    delta_p=jnp.zeros(3), dt=jnp.asarray(hi - lo, jnp.float32),
+                )
+            )
+            continue
+        out.append(preintegrate(gyro[sel], accel[sel], dts[sel]))
+    return out
+
+
+def gyro_rotation_edges(
+    g,
+    increments: list[ImuIncrement],
+    node_pairs: list[tuple[int, int]],
+    weight: float = 2.0,
+    r_cam_imu: np.ndarray | None = None,
+):
+    """Append rotation-only gyro edges to a :class:`PoseGraph`.
+
+    Each increment's dR measures the body-frame rotation between the two
+    keyframes of ``node_pairs[k]`` (cam->world propagates as
+    ``R_cw_j = R_cw_i @ dR``). The graph's edge convention is
+    ``T_i^-1 T_j`` on world->camera poses, whose rotation block is
+    ``R_i^T R_j = R_i^T dR^T R_i`` — the body increment conjugated by
+    the ABSOLUTE rotation of node i. The conjugation anchors to the
+    graph's call-time pose estimates (the odometry-chained
+    initialization), exactly as ``constant_velocity_edges`` anchors its
+    predictions; with the extrinsic ``r_cam_imu`` (camera-from-IMU
+    rotation, identity default) the body increment is first re-expressed
+    in camera axes. Correctness of the convention is pinned by
+    tests/test_vo_imu.py::test_gyro_edges_fix_corrupted_rotations on a
+    rotating ground-truth trajectory. Translation components are masked
+    out (``PoseGraph.edge_mask``): a gyro observes no translation, and
+    an unmasked zero-translation measurement would drag keyframes
+    together. ``weight`` > the odometry edges' 1.0 reflects the gyro's
+    much lower rotation noise.
+    """
+    from tpuflow.vo.pose_graph import _mask_of
+
+    if len(increments) != len(node_pairs):
+        raise ValueError(
+            f"{len(increments)} increments for {len(node_pairs)} node pairs"
+        )
+    if not increments:
+        return g
+    r_ci = (
+        jnp.eye(3) if r_cam_imu is None
+        else jnp.asarray(r_cam_imu, jnp.float32)
+    )
+    e = len(node_pairs)
+    er = jnp.stack(
+        [
+            g.poses_r[i].T @ (r_ci @ inc.delta_r @ r_ci.T).T @ g.poses_r[i]
+            for (i, _j), inc in zip(node_pairs, increments)
+        ]
+    )
+    mask_old = _mask_of(g)
+    mask_new = jnp.tile(
+        jnp.asarray([0.0, 0.0, 0.0, 1.0, 1.0, 1.0], jnp.float32), (e, 1)
+    )
+    return g._replace(
+        edge_i=jnp.concatenate(
+            [g.edge_i, jnp.asarray([i for i, _ in node_pairs], jnp.int32)]
+        ),
+        edge_j=jnp.concatenate(
+            [g.edge_j, jnp.asarray([j for _, j in node_pairs], jnp.int32)]
+        ),
+        edge_r=jnp.concatenate([g.edge_r, er]),
+        edge_t=jnp.concatenate([g.edge_t, jnp.zeros((e, 3))]),
+        edge_valid=jnp.concatenate([g.edge_valid, jnp.ones(e, bool)]),
+        edge_weight=jnp.concatenate(
+            [g.edge_weight, jnp.full(e, float(weight), jnp.float32)]
+        ),
+        edge_mask=jnp.concatenate([mask_old, mask_new]),
+    )

@@ -860,6 +860,10 @@ def run_odometry_chunked(
     motion_prior_weight: float = 0.0,
     fb_check_threshold: float | None = None,
     pyramid_config: str = "default",
+    imu: tuple | None = None,
+    frame_times: "np.ndarray | None" = None,
+    imu_weight: float = 2.0,
+    imu_r_cam: "np.ndarray | None" = None,
 ) -> "OdometryResult":
     """Local-BA + global pose-graph odometry (the classic SLAM split).
 
@@ -888,6 +892,13 @@ def run_odometry_chunked(
     edges (pose_graph.constant_velocity_edges) that regularize
     keyframes with weak constraints toward the smooth trajectory
     predicted by their neighbors.
+
+    ``imu``: optional ``(times, gyro, accel)`` sample arrays
+    (tpuflow.io.imu format). With ``frame_times`` (per-frame
+    timestamps), the gyro stream is preintegrated between consecutive
+    keyframes (tpuflow.vo.imu) and added as rotation-only pose-graph
+    edges with information scale ``imu_weight`` — gyro-aided rotation
+    drift correction. ``imu_r_cam``: camera-from-IMU rotation extrinsic.
     """
     import jax
     import jax.numpy as jnp
@@ -1011,6 +1022,20 @@ def run_odometry_chunked(
         edge_valid=jnp.ones(len(all_edges), bool),
         edge_weight=jnp.asarray(weights),
     )
+    if imu is not None:
+        if frame_times is None:
+            raise ValueError("imu requires frame_times (per-frame timestamps)")
+        from tpuflow.vo import imu as imu_mod
+
+        imu_t, imu_gyro, imu_accel = imu
+        node_times = np.asarray(frame_times, np.float64)[np.asarray(nodes)]
+        incs = imu_mod.preintegrate_segments(
+            imu_t, imu_gyro, imu_accel, node_times
+        )
+        g = imu_mod.gyro_rotation_edges(
+            g, incs, [(i, i + 1) for i in range(len(nodes) - 1)],
+            weight=imu_weight, r_cam_imu=imu_r_cam,
+        )
     if motion_prior_weight > 0.0:
         # Soft constant-velocity prior anchored to the odometry-chained
         # initialization (pose_graph.constant_velocity_edges docstring).

@@ -28,6 +28,17 @@ class PoseGraph(NamedTuple):
     edge_t: jax.Array    # (E, 3) measured t_ij
     edge_valid: jax.Array  # (E,) bool
     edge_weight: jax.Array  # (E,) float32 information scale
+    # Optional (E, 6) per-component residual mask in (t, rot) tangent
+    # order. None = all components constrained (ordinary SE(3) edges).
+    # Rotation-only factors (e.g. gyro-preintegration edges, vo.imu)
+    # use [0,0,0,1,1,1] so the unobserved translation exerts no force.
+    edge_mask: jax.Array | None = None
+
+
+def _mask_of(g: "PoseGraph") -> jax.Array:
+    if g.edge_mask is None:
+        return jnp.ones((g.edge_i.shape[0], 6), jnp.float32)
+    return g.edge_mask
 
 
 def _edge_residual(xi_i, xi_j, ri, ti, rj, tj, rm, tm):
@@ -49,7 +60,7 @@ def residuals(g: PoseGraph) -> jax.Array:
             rm, tm,
         )
 
-    r = jax.vmap(one)(g.edge_i, g.edge_j, g.edge_r, g.edge_t)
+    r = jax.vmap(one)(g.edge_i, g.edge_j, g.edge_r, g.edge_t) * _mask_of(g)
     return jnp.where(g.edge_valid[:, None], r, 0.0)
 
 
@@ -68,6 +79,10 @@ def gauss_newton_step(
         return r, ji, jj
 
     res, ji, jj = jax.vmap(one)(g.edge_i, g.edge_j, g.edge_r, g.edge_t)
+    mask = _mask_of(g)
+    res = res * mask
+    ji = ji * mask[:, :, None]
+    jj = jj * mask[:, :, None]
     w = jnp.where(g.edge_valid, g.edge_weight, 0.0)
 
     hii = jnp.einsum("eia,eib->eab", ji, ji) * w[:, None, None]
@@ -136,5 +151,8 @@ def constant_velocity_edges(g: PoseGraph, weight: float = 0.25) -> PoseGraph:
         ),
         edge_weight=jnp.concatenate(
             [g.edge_weight, jnp.full(k - 2, float(weight), jnp.float32)]
+        ),
+        edge_mask=None if g.edge_mask is None else jnp.concatenate(
+            [g.edge_mask, jnp.ones((k - 2, 6), jnp.float32)]
         ),
     )
