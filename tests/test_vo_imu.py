@@ -314,3 +314,118 @@ def test_chunked_odometry_with_imu():
             frames[:6], (150.0, 150.0, 80.0, 60.0), chunk_size=5,
             ba_iterations=2, imu=imu_data,
         )
+
+
+# ---------------------------------------------------------------------------
+# Visual-inertial alignment (metric scale recovery)
+# ---------------------------------------------------------------------------
+
+
+def test_scale_gravity_alignment_recovers_truth():
+    """Accelerating + yawing trajectory with exact synthetic IMU: the
+    linear alignment must recover the monocular scale, the gravity
+    vector, and the keyframe velocities."""
+    s_true = 2.5
+    g_world = np.array([0.0, 0.0, -9.81])
+    amp, om, lam = 0.5, 2 * np.pi * 0.8, 0.4  # x-sinusoid + yaw rate
+    vy = 0.3
+
+    def pos(t):
+        return np.array([amp * np.sin(om * t), vy * t, 0.0])
+
+    def vel(t):
+        return np.array([amp * om * np.cos(om * t), vy, 0.0])
+
+    def acc(t):
+        return np.array([-amp * om * om * np.sin(om * t), 0.0, 0.0])
+
+    def r_wb(t):  # body->world: constant yaw rate about body y
+        return _yaw(lam * t)
+
+    k, frame_dt, rate = 8, 0.25, 1000.0
+    kf_times = np.arange(k) * frame_dt
+
+    # Exact IMU samples.
+    m = int(kf_times[-1] * rate) + 1
+    ts = np.arange(m) / rate
+    gyro = np.tile(np.array([0.0, lam, 0.0], np.float32), (m, 1))
+    accel = np.stack(
+        [r_wb(t).T @ (acc(t) - g_world) for t in ts]
+    ).astype(np.float32)
+
+    # Up-to-scale VO poses (world->cam), centers divided by s_true.
+    rs = np.stack([r_wb(t).T for t in kf_times])
+    cs = np.stack([pos(t) / s_true for t in kf_times])
+    tsv = -np.einsum("kij,kj->ki", rs, cs)
+
+    incs = imu.preintegrate_segments(ts, gyro, accel, kf_times)
+    s_hat, g_hat, v_hat, rms = imu.estimate_scale_and_gravity(rs, tsv, incs)
+
+    assert abs(s_hat - s_true) / s_true < 0.02, s_hat
+    np.testing.assert_allclose(g_hat, g_world, atol=0.15)
+    for i, t in enumerate(kf_times):
+        np.testing.assert_allclose(v_hat[i], vel(t), atol=0.08)
+    assert rms < 0.02, rms
+
+
+def test_scale_gravity_validation():
+    rs = np.tile(np.eye(3), (3, 1, 1))
+    ts = np.zeros((3, 3))
+    with pytest.raises(ValueError):
+        imu.estimate_scale_and_gravity(rs, ts, [])  # count mismatch
+    inc = imu.ImuIncrement(
+        delta_r=jnp.eye(3), delta_v=jnp.zeros(3), delta_p=jnp.zeros(3),
+        dt=jnp.asarray(0.1),
+    )
+    with pytest.raises(ValueError):
+        imu.estimate_scale_and_gravity(rs, ts, [inc, inc])  # K < 4
+
+
+@pytest.mark.slow
+def test_chunked_metric_scale_end_to_end():
+    """Accelerating lateral sequence + matching synthetic IMU: the
+    chunked pipeline reports a metric scale that anchors the monocular
+    gauge to within ~1.5x of truth. The residual bias is VO's (LK
+    underestimates subpixel motion, distorting the trajectory shape the
+    alignment fits); the alignment itself recovers GT-pose problems to
+    2% (test_scale_gravity_alignment_recovers_truth)."""
+    from scipy.ndimage import shift as nd_shift
+
+    from tpuflow.eval import patterns
+    from tpuflow.vo.pipeline import run_odometry_chunked
+
+    base = patterns.load_base_texture(160, 120).astype(np.float32)
+    fx, depth = 150.0, 5.0
+    amp, om = 0.15, 2 * np.pi * 0.3
+    rate_f, n = 4.0, 16
+    t_f = np.arange(n) / rate_f
+    xs = amp * np.sin(om * t_f)
+    frames = [
+        nd_shift(base, (0.0, -fx * x / depth), order=1, mode="nearest")
+        for x in xs
+    ]
+    rate_i = 200.0
+    m = int(t_f[-1] * rate_i) + 1
+    ti = np.arange(m) / rate_i
+    ax = -amp * om * om * np.sin(om * ti)
+    accel = np.stack(
+        [ax, np.zeros(m), np.full(m, 9.81)], 1
+    ).astype(np.float32)
+    gyro = np.zeros((m, 3), np.float32)
+
+    res = run_odometry_chunked(
+        frames, (fx, fx, 80.0, 60.0), chunk_size=6, ba_iterations=8,
+        imu=(ti, gyro, accel), frame_times=t_f,
+    )
+    assert res.metric_scale is not None and res.metric_scale > 0
+    centers = -np.einsum("kij,ki->kj", res.poses_r, res.poses_t)
+    span_vo = centers[:, 0].max() - centers[:, 0].min()
+    span_gt = xs.max() - xs.min()
+    ratio = res.metric_scale * span_vo / span_gt
+    assert 0.4 < ratio < 1.6, (res.metric_scale, ratio)
+
+    # Without IMU the scale stays the gauge freedom it is.
+    res2 = run_odometry_chunked(
+        frames[:8], (fx, fx, 80.0, 60.0), chunk_size=6, ba_iterations=4
+    )
+    assert res2.metric_scale is None

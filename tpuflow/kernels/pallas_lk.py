@@ -158,21 +158,44 @@ def _lk_tile(p, c, *, n_tiles: int, tile_rows: int, height: int,
     gw = width + 2 * half
     base = APRON - half  # >= 1 for window <= 7
 
-    def sh(dy, dx):  # shifted slab view over the gradient region
-        return jax.lax.slice(
-            avg, (base + dy, base + dx), (base + dy + gh, base + dx + gw)
-        )
+    if relaxed_order:
+        # Separable Sobel: Sx = [1,2,1]^T (x) [1,0,-1], Sy = its
+        # transpose, factored into a vertical pass then horizontal
+        # shifts. Same terms as the direct form (reassociated — hence
+        # relaxed-order only), but ZERO diagonal views: the direct form
+        # reads 8 two-axis-misaligned slices, the costliest kind
+        # (scripts/shift_ablation.py: misaligned slice-adds measure
+        # 3-7x an aligned add, diagonal worst), vs 3 row-shifted + 5
+        # col-shifted views here.
+        def shv(dy):  # vertical-shifted view, 1 col wider each side
+            return jax.lax.slice(
+                avg, (base + dy, base - 1), (base + dy + gh, base + 1 + gw)
+            )
 
-    ix = (
-        (sh(-1, -1) - sh(-1, 1))
-        + 2.0 * (sh(0, -1) - sh(0, 1))
-        + (sh(1, -1) - sh(1, 1))
-    ) * 0.125
-    iy = (
-        (sh(-1, -1) - sh(1, -1))
-        + 2.0 * (sh(-1, 0) - sh(1, 0))
-        + (sh(-1, 1) - sh(1, 1))
-    ) * 0.125
+        sv = shv(-1) + 2.0 * shv(0) + shv(1)   # [1,2,1] vertical smooth
+        dv = shv(-1) - shv(1)                   # [1,0,-1] vertical diff
+
+        def shc(m, dx):  # horizontal shift of a (gh, gw+2) intermediate
+            return jax.lax.slice(m, (0, 1 + dx), (gh, 1 + dx + gw))
+
+        ix = (shc(sv, -1) - shc(sv, 1)) * 0.125
+        iy = (shc(dv, -1) + 2.0 * shc(dv, 0) + shc(dv, 1)) * 0.125
+    else:
+        def sh(dy, dx):  # shifted slab view over the gradient region
+            return jax.lax.slice(
+                avg, (base + dy, base + dx), (base + dy + gh, base + dx + gw)
+            )
+
+        ix = (
+            (sh(-1, -1) - sh(-1, 1))
+            + 2.0 * (sh(0, -1) - sh(0, 1))
+            + (sh(1, -1) - sh(1, 1))
+        ) * 0.125
+        iy = (
+            (sh(-1, -1) - sh(1, -1))
+            + 2.0 * (sh(-1, 0) - sh(1, 0))
+            + (sh(-1, 1) - sh(1, 1))
+        ) * 0.125
     it = jax.lax.slice(p, (base, base), (base + gh, base + gw)) - jax.lax.slice(
         c, (base, base), (base + gh, base + gw)
     )

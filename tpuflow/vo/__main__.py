@@ -290,6 +290,9 @@ def main() -> None:
             checkpoint.save(sess, args.checkpoint)
             print(f"session checkpoint -> {args.checkpoint}")
 
+    if res.metric_scale is not None:
+        print(f"metric scale (VI alignment): {res.metric_scale:.4f} "
+              "world units per VO unit")
     if res.track_loss_frames:
         print(
             f"WARNING: tracking lost at frame(s) {res.track_loss_frames} "

@@ -128,6 +128,71 @@ def preintegrate_segments(
     return out
 
 
+def estimate_scale_and_gravity(
+    poses_r: np.ndarray,
+    poses_t: np.ndarray,
+    increments: list[ImuIncrement],
+) -> tuple[float, np.ndarray, np.ndarray, float]:
+    """Visual-inertial alignment: recover the monocular metric scale.
+
+    Monocular VO's trajectory is defined up to scale; the accelerometer
+    observes metric distances. Given the solved (up-to-scale)
+    world->camera keyframe poses and the preintegrated gravity-free
+    increments between consecutive keyframes, solve the classic linear
+    alignment system (Mur-Artal-style VI initialization) for scale s,
+    gravity vector g (VO world frame), and per-keyframe velocities:
+
+        s(p_{i+1} - p_i) = v_i dt_i + 0.5 g dt_i^2 + R_cw_i dp_i
+        v_{i+1} - v_i    = g dt_i + R_cw_i dv_i
+
+    Returns ``(scale, gravity (3,), velocities (K, 3), residual_rms)``.
+    Needs K >= 4 keyframes and real acceleration variation to be well
+    conditioned (constant velocity makes scale/gravity nearly
+    unobservable — check ``residual_rms`` and |gravity| ≈ 9.81 before
+    trusting the scale). Host-side lstsq (an initialization step, not
+    the serving loop).
+    """
+    k = len(poses_r)
+    if len(increments) != k - 1:
+        raise ValueError(
+            f"need K-1={k - 1} increments for K={k} poses, got {len(increments)}"
+        )
+    if k < 4:
+        raise ValueError("scale/gravity alignment needs >= 4 keyframes")
+    poses_r = np.asarray(poses_r, np.float64)
+    poses_t = np.asarray(poses_t, np.float64)
+    centers = -np.einsum("kij,ki->kj", poses_r, poses_t)  # up-to-scale p_hat
+    r_cw = np.transpose(poses_r, (0, 2, 1))               # body->world
+
+    n_unknown = 1 + 3 + 3 * k                # s, g, v_0..v_{K-1}
+    rows = []
+    rhs = []
+    for i in range(k - 1):
+        dt = float(increments[i].dt)
+        dp = r_cw[i] @ np.asarray(increments[i].delta_p, np.float64)
+        dv = r_cw[i] @ np.asarray(increments[i].delta_v, np.float64)
+        # Position block: s dp_hat - v_i dt - 0.5 dt^2 g = dp
+        a = np.zeros((3, n_unknown))
+        a[:, 0] = centers[i + 1] - centers[i]
+        a[:, 1:4] = -0.5 * dt * dt * np.eye(3)
+        a[:, 4 + 3 * i : 7 + 3 * i] = -dt * np.eye(3)
+        rows.append(a)
+        rhs.append(dp)
+        # Velocity block: v_{i+1} - v_i - dt g = dv
+        b = np.zeros((3, n_unknown))
+        b[:, 1:4] = -dt * np.eye(3)
+        b[:, 4 + 3 * i : 7 + 3 * i] = -np.eye(3)
+        b[:, 4 + 3 * (i + 1) : 7 + 3 * (i + 1)] = np.eye(3)
+        rows.append(b)
+        rhs.append(dv)
+    a_mat = np.concatenate(rows)
+    b_vec = np.concatenate(rhs)
+    x, _, _, _ = np.linalg.lstsq(a_mat, b_vec, rcond=None)
+    resid = a_mat @ x - b_vec
+    rms = float(np.sqrt(np.mean(resid * resid)))
+    return float(x[0]), x[1:4], x[4:].reshape(k, 3), rms
+
+
 def gyro_rotation_edges(
     g,
     increments: list[ImuIncrement],

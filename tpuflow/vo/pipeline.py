@@ -36,6 +36,12 @@ class OdometryResult:
     # total occlusion the new segment re-anchors near the last pose
     # with fresh (unobservable) scale. Empty = continuous tracking.
     track_loss_frames: list[int] = dataclasses.field(default_factory=list)
+    # Metric scale of the (otherwise gauge-free) monocular trajectory,
+    # recovered by visual-inertial alignment when IMU samples with real
+    # accelerometer content are supplied (vo.imu.estimate_scale_and_
+    # gravity); None = unavailable/unreliable (|gravity| sanity check
+    # failed). Multiply translations/landmarks by this to get meters.
+    metric_scale: float | None = None
 
 
 class OdometrySession:
@@ -1022,6 +1028,7 @@ def run_odometry_chunked(
         edge_valid=jnp.ones(len(all_edges), bool),
         edge_weight=jnp.asarray(weights),
     )
+    imu_incs = None
     if imu is not None:
         if frame_times is None:
             raise ValueError("imu requires frame_times (per-frame timestamps)")
@@ -1029,11 +1036,11 @@ def run_odometry_chunked(
 
         imu_t, imu_gyro, imu_accel = imu
         node_times = np.asarray(frame_times, np.float64)[np.asarray(nodes)]
-        incs = imu_mod.preintegrate_segments(
+        imu_incs = imu_mod.preintegrate_segments(
             imu_t, imu_gyro, imu_accel, node_times
         )
         g = imu_mod.gyro_rotation_edges(
-            g, incs, [(i, i + 1) for i in range(len(nodes) - 1)],
+            g, imu_incs, [(i, i + 1) for i in range(len(nodes) - 1)],
             weight=imu_weight, r_cam_imu=imu_r_cam,
         )
     if motion_prior_weight > 0.0:
@@ -1044,6 +1051,24 @@ def run_odometry_chunked(
     resid = float(
         jnp.abs(pose_graph.residuals(solved)).max()
     )
+    # Visual-inertial alignment: with accelerometer content, the solved
+    # (up-to-scale) trajectory + gravity-free increments determine the
+    # metric scale. Accept only when the recovered gravity magnitude is
+    # physical (degenerate motion — e.g. constant velocity — makes the
+    # system ill-conditioned and g drifts away from 9.81).
+    metric_scale = None
+    if imu_incs is not None and len(nodes) >= 4:
+        from tpuflow.vo import imu as imu_mod
+
+        try:
+            s_hat, g_hat, _v, _rms = imu_mod.estimate_scale_and_gravity(
+                np.asarray(solved.poses_r), np.asarray(solved.poses_t),
+                imu_incs,
+            )
+            if 8.0 < float(np.linalg.norm(g_hat)) < 12.0 and s_hat > 0:
+                metric_scale = s_hat
+        except np.linalg.LinAlgError:
+            pass
     return OdometryResult(
         poses_r=np.asarray(solved.poses_r),
         poses_t=np.asarray(solved.poses_t),
@@ -1052,4 +1077,5 @@ def run_odometry_chunked(
         track_count=last_result.track_count,
         mean_reprojection_error=resid,
         track_loss_frames=sorted(loss_frames),
+        metric_scale=metric_scale,
     )
