@@ -20,7 +20,7 @@ cd "$(dirname "$0")/.."
 
 export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/tmp/jaxcache}"
 
-echo "== 1/6 fast-path suite vs committed pallas baseline =="
+echo "== 1/7 fast-path suite vs committed pallas baseline =="
 timeout 1500 python -m tpuflow.eval.verifier \
     --backend pallas \
     --compare-baseline \
@@ -28,7 +28,7 @@ timeout 1500 python -m tpuflow.eval.verifier \
     --output-dir /tmp/tpu_fastpath_results \
     --no-visualizations
 
-echo "== 2/6 narrow-band production config vs its committed baseline =="
+echo "== 2/7 narrow-band production config vs its committed baseline =="
 timeout 1500 python -m tpuflow.eval.verifier \
     --backend pallas \
     --pyramid-config narrow_vertical \
@@ -37,7 +37,7 @@ timeout 1500 python -m tpuflow.eval.verifier \
     --output-dir /tmp/tpu_fastpath_narrow \
     --no-visualizations
 
-echo "== 3/6 adaptive-band production config vs its committed baseline =="
+echo "== 3/7 adaptive-band production config vs its committed baseline =="
 timeout 1500 python -m tpuflow.eval.verifier \
     --backend pallas \
     --pyramid-config adaptive_vertical \
@@ -46,7 +46,7 @@ timeout 1500 python -m tpuflow.eval.verifier \
     --output-dir /tmp/tpu_fastpath_adaptive \
     --no-visualizations
 
-echo "== 4/6 relaxed-order config vs its committed baseline =="
+echo "== 4/7 relaxed-order config vs its committed baseline =="
 timeout 1500 python -m tpuflow.eval.verifier \
     --backend pallas \
     --pyramid-config relaxed_order \
@@ -55,7 +55,7 @@ timeout 1500 python -m tpuflow.eval.verifier \
     --output-dir /tmp/tpu_fastpath_relaxed \
     --no-visualizations
 
-echo "== 5/6 production config (adaptive band + relaxed order) vs its baseline =="
+echo "== 5/7 production config (adaptive band + relaxed order) vs its baseline =="
 timeout 1500 python -m tpuflow.eval.verifier \
     --backend pallas \
     --pyramid-config production \
@@ -64,7 +64,13 @@ timeout 1500 python -m tpuflow.eval.verifier \
     --output-dir /tmp/tpu_fastpath_production \
     --no-visualizations
 
-echo "== 6/6 tiled-pallas single-chip smoke =="
+echo "== 6/7 VO trajectory suite (pallas front-end) vs its committed baseline =="
+timeout 1800 python -m tpuflow.eval.vo_verifier \
+    --backend pallas \
+    --compare-baseline \
+    --baseline tpuflow/eval/data/vo_pallas_baseline.json
+
+echo "== 7/7 tiled-pallas single-chip smoke =="
 TPUFLOW_REAL_TPU=1 timeout 900 python -m pytest \
     tests/test_sharding.py::test_tiled_pallas_matches_single_pallas \
     -q --no-header

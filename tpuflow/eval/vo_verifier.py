@@ -99,11 +99,40 @@ def _poses_arc(n: int) -> Tuple[np.ndarray, np.ndarray]:
     return np.stack(rs), np.stack(ts)
 
 
+def _poses_square(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Closed square loop over the plane: 4 sides of n//4 steps each,
+    returning to the start — exercises the chunked pose-graph pipeline
+    with loop closure (the final frames revisit the first pose)."""
+    side = max(n // 4, 2)
+    step = 0.018
+    c = np.zeros(3)
+    centers = [c.copy()]
+    for d in ([step, 0, 0], [0, step, 0], [-step, 0, 0], [0, -step, 0]):
+        for _ in range(side):
+            c = c + np.asarray(d, np.float64)
+            centers.append(c.copy())
+    rs, ts = [], []
+    for center in centers:
+        r, t = _pose_from_center(np.eye(3), center)
+        rs.append(r)
+        ts.append(t)
+    return np.stack(rs), np.stack(ts)
+
+
 SEQUENCES = {
     "strafe_x": _poses_strafe,
     "dolly_z": _poses_dolly,
     "arc_yaw": _poses_arc,
+    "square_loop": _poses_square,
 }
+
+# Per-sequence pipeline mode: the square loop runs the chunked
+# local-BA + pose-graph pipeline WITH loop closure (the revisit at the
+# end is the point); the rest run the incremental session.
+SEQUENCE_MODES = {"square_loop": "chunked_loop"}
+# Fixed lengths where the geometry dictates one (a square needs 4 full
+# sides); --frames applies to the rest.
+SEQUENCE_LENGTHS = {"square_loop": 16}
 
 
 def intrinsics() -> Tuple[float, float, float, float]:
@@ -164,17 +193,29 @@ def verify_sequence(
     verbose: bool = True,
 ) -> Dict[str, Any]:
     """Render one sequence, run the full VO pipeline, score ATE/RPE."""
-    from tpuflow.vo.pipeline import run_odometry
+    from tpuflow.vo.pipeline import run_odometry, run_odometry_chunked
 
+    n_frames = SEQUENCE_LENGTHS.get(name, n_frames)
     gt_r, gt_t = SEQUENCES[name](n_frames)
     frames = render_sequence(gt_r, gt_t)
-    result = run_odometry(
-        frames,
-        intrinsics(),
-        init_depth=PLANE_DEPTH,
-        ba_iterations=ba_iterations,
-        backend=backend,
-    )
+    if SEQUENCE_MODES.get(name) == "chunked_loop":
+        result = run_odometry_chunked(
+            frames,
+            intrinsics(),
+            chunk_size=6,
+            init_depth=PLANE_DEPTH,
+            ba_iterations=ba_iterations,
+            backend=backend,
+            loop_closure=True,
+        )
+    else:
+        result = run_odometry(
+            frames,
+            intrinsics(),
+            init_depth=PLANE_DEPTH,
+            ba_iterations=ba_iterations,
+            backend=backend,
+        )
     # Keyframe stride is 1 here, so keyframe poses line up 1:1 with the
     # ground-truth frames.
     kf = result.keyframe_indices
