@@ -429,3 +429,113 @@ def test_chunked_metric_scale_end_to_end():
         frames[:8], (fx, fx, 80.0, 60.0), chunk_size=6, ba_iterations=4
     )
     assert res2.metric_scale is None
+
+
+# ---------------------------------------------------------------------------
+# Review-round regression tests (round-3 code-review findings)
+# ---------------------------------------------------------------------------
+
+
+def test_empty_imu_coverage_rejected_and_partial_skipped(capsys):
+    """IMU samples on a different time base than the frames must error
+    (identity increments would otherwise become weight-2 zero-rotation
+    edges that actively bend a rotating trajectory); partial gaps skip
+    only the uncovered edges, with a warning."""
+    from scipy.ndimage import shift as nd_shift
+
+    from tpuflow.eval import patterns
+    from tpuflow.vo.pipeline import run_odometry_chunked
+
+    base = patterns.load_base_texture(160, 120).astype(np.float32)
+    frames = [
+        nd_shift(base, (0.0, -1.2 * i), order=1, mode="nearest")
+        for i in range(8)
+    ]
+    frame_times = np.arange(8) / 4.0  # [0, 1.75] s
+    m = 100
+    z = np.zeros((m, 3), np.float32)
+    # Epoch-based clock: no overlap at all -> hard error.
+    with pytest.raises(ValueError, match="time base"):
+        run_odometry_chunked(
+            frames, (150.0, 150.0, 80.0, 60.0), chunk_size=5,
+            ba_iterations=2,
+            imu=(1.69e9 + np.arange(m) / 50.0, z, z),
+            frame_times=frame_times,
+        )
+    # Coverage only for the first half: runs, warns, skips the rest.
+    res = run_odometry_chunked(
+        frames, (150.0, 150.0, 80.0, 60.0), chunk_size=5,
+        ba_iterations=4,
+        imu=(np.arange(m) / 100.0, z, z),  # [0, 0.99] s only
+        frame_times=frame_times,
+    )
+    assert len(res.keyframe_indices) == 8
+    assert "no IMU samples; skipping" in capsys.readouterr().out
+    assert res.metric_scale is None  # incomplete coverage: no alignment
+
+
+def test_scale_gravity_alignment_with_extrinsic():
+    """A camera-from-IMU extrinsic must flow into the VI alignment too
+    (review finding: it was applied to gyro edges only). IMU-frame
+    increments rotated by the extrinsic recover the same scale."""
+    s_true = 2.5
+    g_world = np.array([0.0, 0.0, -9.81])
+    amp, om, vy = 0.5, 2 * np.pi * 0.8, 0.3
+    r_ci = _yaw(np.radians(35.0))  # camera-from-IMU
+
+    def pos(t):
+        return np.array([amp * np.sin(om * t), vy * t, 0.0])
+
+    def acc(t):
+        return np.array([-amp * om * om * np.sin(om * t), 0.0, 0.0])
+
+    k, frame_dt, rate = 8, 0.25, 1000.0
+    kf_times = np.arange(k) * frame_dt
+    m = int(kf_times[-1] * rate) + 1
+    ts = np.arange(m) / rate
+    gyro = np.zeros((m, 3), np.float32)
+    # Camera is world-aligned (no rotation); IMU body = extrinsic-rotated
+    # camera frame, so the IMU-frame specific force picks up r_ci^T.
+    accel = np.stack(
+        [r_ci.T @ (acc(t) - g_world) for t in ts]
+    ).astype(np.float32)
+
+    rs = np.tile(np.eye(3), (k, 1, 1))
+    cs = np.stack([pos(t) / s_true for t in kf_times])
+    tsv = -np.einsum("kij,kj->ki", rs, cs)
+    incs = imu.preintegrate_segments(ts, gyro, accel, kf_times)
+    s_hat, g_hat, _v, _rms = imu.estimate_scale_and_gravity(
+        rs, tsv, incs, r_cam_imu=r_ci
+    )
+    assert abs(s_hat - s_true) / s_true < 0.02, s_hat
+    np.testing.assert_allclose(g_hat, g_world, atol=0.15)
+
+
+def test_tiled_front_end_honors_pyramid_config():
+    """Review finding: the mesh-tiled front-end dropped the session's
+    pyramid config. A 2-level 'shallow' tiled session must differ from
+    the default tiled session (and both must run)."""
+    import jax
+
+    from tpuflow.sharding import make_flow_mesh
+    from tpuflow.vo.pipeline import OdometrySession
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the 4+ virtual-device CPU mesh")
+    mesh = make_flow_mesh(batch=1, ty=2, tx=2)
+    rng = np.random.default_rng(3)
+    base = rng.uniform(0, 255, (128, 160)).astype(np.float32)
+    frames = [np.roll(base, i, axis=1) for i in range(3)]
+
+    def run(cfg_name):
+        s = OdometrySession(
+            (80.0, 80.0, 80.0, 64.0), grid_step=16, mesh=mesh,
+            pyramid_config=cfg_name,
+        )
+        for f in frames:
+            s.process_frame(f)
+        return s.solve(ba_iterations=4)
+
+    res_default = run("default")
+    res_shallow = run("shallow")
+    assert not np.array_equal(res_shallow.poses_t, res_default.poses_t)

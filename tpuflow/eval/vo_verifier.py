@@ -103,7 +103,7 @@ def _poses_square(n: int) -> Tuple[np.ndarray, np.ndarray]:
     """Closed square loop over the plane: 4 sides of n//4 steps each,
     returning to the start — exercises the chunked pose-graph pipeline
     with loop closure (the final frames revisit the first pose)."""
-    side = max(n // 4, 2)
+    side = max((n - 1) // 4, 1)  # 4*side + 1 poses (close the loop)
     step = 0.018
     c = np.zeros(3)
     centers = [c.copy()]
@@ -132,7 +132,7 @@ SEQUENCES = {
 SEQUENCE_MODES = {"square_loop": "chunked_loop"}
 # Fixed lengths where the geometry dictates one (a square needs 4 full
 # sides); --frames applies to the rest.
-SEQUENCE_LENGTHS = {"square_loop": 16}
+SEQUENCE_LENGTHS = {"square_loop": 17}
 
 
 def intrinsics() -> Tuple[float, float, float, float]:
@@ -198,6 +198,7 @@ def verify_sequence(
     n_frames = SEQUENCE_LENGTHS.get(name, n_frames)
     gt_r, gt_t = SEQUENCES[name](n_frames)
     frames = render_sequence(gt_r, gt_t)
+    n_frames = len(frames)  # report what was actually rendered
     if SEQUENCE_MODES.get(name) == "chunked_loop":
         result = run_odometry_chunked(
             frames,
@@ -244,6 +245,8 @@ def run_suite(
     sequence_names: Optional[List[str]] = None,
     backend: str = "jnp",
     verbose: bool = True,
+    n_frames: int = N_FRAMES,
+    ba_iterations: int = 10,
 ) -> List[Dict[str, Any]]:
     names = sequence_names or list(SEQUENCES)
     unknown = [n for n in names if n not in SEQUENCES]
@@ -252,7 +255,13 @@ def run_suite(
             f"Unknown sequence(s): {', '.join(unknown)}. "
             f"Available: {', '.join(SEQUENCES)}"
         )
-    return [verify_sequence(n, backend=backend, verbose=verbose) for n in names]
+    return [
+        verify_sequence(
+            n, n_frames=n_frames, backend=backend,
+            ba_iterations=ba_iterations, verbose=verbose,
+        )
+        for n in names
+    ]
 
 
 def compare_against_baseline(
@@ -343,14 +352,10 @@ def main() -> None:
     parser.add_argument("--baseline", type=str, default=str(VO_BASELINE))
     args = parser.parse_args()
 
-    names = args.sequence or list(SEQUENCES)
-    results = [
-        verify_sequence(
-            n, n_frames=args.frames, backend=args.backend,
-            ba_iterations=args.ba_iterations,
-        )
-        for n in names
-    ]
+    results = run_suite(
+        args.sequence, backend=args.backend, n_frames=args.frames,
+        ba_iterations=args.ba_iterations,
+    )
 
     if args.update_baseline:
         update_baseline(results, Path(args.baseline), backend=args.backend)

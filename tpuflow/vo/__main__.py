@@ -186,6 +186,16 @@ def main() -> None:
                   "--resume (the checkpointed session's settings apply; "
                   "start a new session to change them)", file=sys.stderr)
             sys.exit(2)
+    if not args.imu:
+        bad = [name for name, val in (
+            ("--frame-rate", args.frame_rate),
+            ("--imu-weight",
+             args.imu_weight != parser.get_default("imu_weight") or None),
+        ) if val]
+        if bad:
+            print(f"error: {', '.join(bad)} require(s) --imu",
+                  file=sys.stderr)
+            sys.exit(2)
     if args.chunked:
         bad = [name for name, val in (
             ("--checkpoint", args.checkpoint),

@@ -136,7 +136,7 @@ class FrontEnd:
             return tuple(
                 x[0] for x in tiled_lucas_kanade_pyramidal(
                     carry_prev[0][None], carry_curr[0][None], self.mesh,
-                    backend=self.backend,
+                    config=cfg, backend=self.backend,
                 )
             )
         from tpuflow.flow.pyramidal import lucas_kanade_pyramidal_from_pyramids

@@ -40,6 +40,12 @@ class ImuIncrement(NamedTuple):
     delta_v: jax.Array  # (3,) velocity increment (gravity-free)
     delta_p: jax.Array  # (3,) position increment (gravity-free)
     dt: jax.Array       # scalar total duration
+    # Number of raw samples integrated. 0 = the interval had NO IMU
+    # coverage (identity/zero increment by construction) — consumers
+    # must treat such increments as missing data, not as a measured
+    # "no motion" (a weight-2 zero-rotation edge built from one would
+    # actively corrupt a rotating trajectory).
+    n_samples: int = 0
 
 
 def preintegrate(
@@ -83,7 +89,9 @@ def preintegrate(
 
     init = (jnp.eye(3), jnp.zeros(3), jnp.zeros(3))
     (r, v, p), _ = jax.lax.scan(step, init, (gyro, accel, dts))
-    return ImuIncrement(delta_r=r, delta_v=v, delta_p=p, dt=dts.sum())
+    return ImuIncrement(
+        delta_r=r, delta_v=v, delta_p=p, dt=dts.sum(), n_samples=n
+    )
 
 
 def preintegrate_segments(
@@ -121,6 +129,7 @@ def preintegrate_segments(
                 ImuIncrement(
                     delta_r=jnp.eye(3), delta_v=jnp.zeros(3),
                     delta_p=jnp.zeros(3), dt=jnp.asarray(hi - lo, jnp.float32),
+                    n_samples=0,
                 )
             )
             continue
@@ -132,6 +141,7 @@ def estimate_scale_and_gravity(
     poses_r: np.ndarray,
     poses_t: np.ndarray,
     increments: list[ImuIncrement],
+    r_cam_imu: np.ndarray | None = None,
 ) -> tuple[float, np.ndarray, np.ndarray, float]:
     """Visual-inertial alignment: recover the monocular metric scale.
 
@@ -144,6 +154,11 @@ def estimate_scale_and_gravity(
 
         s(p_{i+1} - p_i) = v_i dt_i + 0.5 g dt_i^2 + R_cw_i dp_i
         v_{i+1} - v_i    = g dt_i + R_cw_i dv_i
+
+    ``r_cam_imu``: camera-from-IMU rotation extrinsic — increments are
+    integrated in the IMU body frame and must be re-expressed in camera
+    axes before the camera-pose rotations map them to world (the same
+    extrinsic ``gyro_rotation_edges`` applies).
 
     Returns ``(scale, gravity (3,), velocities (K, 3), residual_rms)``.
     Needs K >= 4 keyframes and real acceleration variation to be well
@@ -162,7 +177,11 @@ def estimate_scale_and_gravity(
     poses_r = np.asarray(poses_r, np.float64)
     poses_t = np.asarray(poses_t, np.float64)
     centers = -np.einsum("kij,ki->kj", poses_r, poses_t)  # up-to-scale p_hat
-    r_cw = np.transpose(poses_r, (0, 2, 1))               # body->world
+    r_cw = np.transpose(poses_r, (0, 2, 1))               # camera->world
+    if r_cam_imu is not None:
+        # Fold the extrinsic in once: IMU-frame vectors -> camera ->
+        # world is r_cw_i @ r_cam_imu.
+        r_cw = r_cw @ np.asarray(r_cam_imu, np.float64)
 
     n_unknown = 1 + 3 + 3 * k                # s, g, v_0..v_{K-1}
     rows = []

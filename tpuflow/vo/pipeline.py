@@ -1039,8 +1039,31 @@ def run_odometry_chunked(
         imu_incs = imu_mod.preintegrate_segments(
             imu_t, imu_gyro, imu_accel, node_times
         )
+        # Empty segments mean NO IMU coverage there, not "no motion":
+        # an identity increment fed to the graph would be a weight-2
+        # zero-rotation edge actively bending a rotating trajectory.
+        # Drop those edges, and reject outright when nothing overlaps
+        # (the classic epoch-vs-boot clock time-base mismatch).
+        covered = [
+            (i, inc) for i, inc in enumerate(imu_incs) if inc.n_samples > 0
+        ]
+        if not covered:
+            raise ValueError(
+                "no IMU samples overlap the frame window "
+                f"[{node_times[0]:.3f}, {node_times[-1]:.3f}] s "
+                f"(IMU spans [{imu_t[0]:.3f}, {imu_t[-1]:.3f}] s) — "
+                "check that frame_times and the IMU stream share a time "
+                "base"
+            )
+        if len(covered) < len(imu_incs):
+            print(
+                f"WARNING: {len(imu_incs) - len(covered)} of "
+                f"{len(imu_incs)} keyframe intervals have no IMU "
+                "samples; skipping their gyro edges"
+            )
         g = imu_mod.gyro_rotation_edges(
-            g, imu_incs, [(i, i + 1) for i in range(len(nodes) - 1)],
+            g, [inc for _i, inc in covered],
+            [(i, i + 1) for i, _inc in covered],
             weight=imu_weight, r_cam_imu=imu_r_cam,
         )
     if motion_prior_weight > 0.0:
@@ -1057,13 +1080,15 @@ def run_odometry_chunked(
     # physical (degenerate motion — e.g. constant velocity — makes the
     # system ill-conditioned and g drifts away from 9.81).
     metric_scale = None
-    if imu_incs is not None and len(nodes) >= 4:
-        from tpuflow.vo import imu as imu_mod
-
+    if (
+        imu_incs is not None
+        and len(nodes) >= 4
+        and all(inc.n_samples > 0 for inc in imu_incs)
+    ):
         try:
             s_hat, g_hat, _v, _rms = imu_mod.estimate_scale_and_gravity(
                 np.asarray(solved.poses_r), np.asarray(solved.poses_t),
-                imu_incs,
+                imu_incs, r_cam_imu=imu_r_cam,
             )
             if 8.0 < float(np.linalg.norm(g_hat)) < 12.0 and s_hat > 0:
                 metric_scale = s_hat
