@@ -149,6 +149,11 @@ def main() -> None:
     parser.add_argument("--imu-weight", type=float, default=2.0,
                         help="information scale of the gyro rotation "
                         "edges relative to odometry edges (1.0)")
+    parser.add_argument("--imu-tight", action="store_true",
+                        help="tightly-coupled VI refinement after the "
+                        "pose-graph solve (vo.vi_graph): poses become "
+                        "METRIC when the IMU covers every keyframe "
+                        "interval and gravity recovers physically")
     parser.add_argument("--compact-window", type=int, default=None,
                         metavar="K",
                         help="incremental mode: marginalize to the last K "
@@ -191,6 +196,7 @@ def main() -> None:
             ("--frame-rate", args.frame_rate),
             ("--imu-weight",
              args.imu_weight != parser.get_default("imu_weight") or None),
+            ("--imu-tight", args.imu_tight or None),
         ) if val]
         if bad:
             print(f"error: {', '.join(bad)} require(s) --imu",
@@ -265,7 +271,7 @@ def main() -> None:
             fb_check_threshold=args.fb_check,
             pyramid_config=args.pyramid_config,
             imu=imu_data, frame_times=frame_times,
-            imu_weight=args.imu_weight,
+            imu_weight=args.imu_weight, imu_tight=args.imu_tight,
         )
     else:
         from tpuflow.vo import checkpoint
@@ -301,8 +307,12 @@ def main() -> None:
             print(f"session checkpoint -> {args.checkpoint}")
 
     if res.metric_scale is not None:
-        print(f"metric scale (VI alignment): {res.metric_scale:.4f} "
-              "world units per VO unit")
+        if res.metric_poses:
+            print("poses are METRIC (tight VI refinement; applied "
+                  f"vision-to-metric scale {res.metric_scale:.4f})")
+        else:
+            print(f"metric scale (VI alignment): {res.metric_scale:.4f} "
+                  "world units per VO unit")
     if res.track_loss_frames:
         print(
             f"WARNING: tracking lost at frame(s) {res.track_loss_frames} "

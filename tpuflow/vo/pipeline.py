@@ -40,8 +40,12 @@ class OdometryResult:
     # recovered by visual-inertial alignment when IMU samples with real
     # accelerometer content are supplied (vo.imu.estimate_scale_and_
     # gravity); None = unavailable/unreliable (|gravity| sanity check
-    # failed). Multiply translations/landmarks by this to get meters.
+    # failed). When ``metric_poses`` is False, multiply translations by
+    # this to get world units; when True (imu_tight refinement ran,
+    # tpuflow.vo.vi_graph), the poses are ALREADY metric and
+    # ``metric_scale`` records the vision-to-metric factor applied.
     metric_scale: float | None = None
+    metric_poses: bool = False
 
 
 class OdometrySession:
@@ -870,6 +874,7 @@ def run_odometry_chunked(
     frame_times: "np.ndarray | None" = None,
     imu_weight: float = 2.0,
     imu_r_cam: "np.ndarray | None" = None,
+    imu_tight: bool = False,
 ) -> "OdometryResult":
     """Local-BA + global pose-graph odometry (the classic SLAM split).
 
@@ -905,6 +910,15 @@ def run_odometry_chunked(
     keyframes (tpuflow.vo.imu) and added as rotation-only pose-graph
     edges with information scale ``imu_weight`` — gyro-aided rotation
     drift correction. ``imu_r_cam``: camera-from-IMU rotation extrinsic.
+
+    ``imu_tight``: additionally run the tightly-coupled VI refinement
+    (tpuflow.vo.vi_graph) after the pose-graph solve — keyframe poses
+    AND velocities re-optimized under preintegrated IMU factors with the
+    gravity recovered by the linear alignment; the returned poses are
+    then METRIC (``metric_poses=True``, translations in world units).
+    Requires full IMU coverage of every keyframe interval and a
+    physically-plausible recovered gravity; falls back to the loose
+    scale report otherwise.
     """
     import jax
     import jax.numpy as jnp
@@ -1080,6 +1094,9 @@ def run_odometry_chunked(
     # physical (degenerate motion — e.g. constant velocity — makes the
     # system ill-conditioned and g drifts away from 9.81).
     metric_scale = None
+    metric_poses = False
+    out_r = np.asarray(solved.poses_r)
+    out_t = np.asarray(solved.poses_t)
     if (
         imu_incs is not None
         and len(nodes) >= 4
@@ -1087,20 +1104,30 @@ def run_odometry_chunked(
     ):
         try:
             s_hat, g_hat, _v, _rms = imu_mod.estimate_scale_and_gravity(
-                np.asarray(solved.poses_r), np.asarray(solved.poses_t),
-                imu_incs, r_cam_imu=imu_r_cam,
+                out_r, out_t, imu_incs, r_cam_imu=imu_r_cam,
             )
             if 8.0 < float(np.linalg.norm(g_hat)) < 12.0 and s_hat > 0:
                 metric_scale = s_hat
+                if imu_tight:
+                    from tpuflow.vo import vi_graph
+
+                    sol = vi_graph.solve_vi(
+                        out_r, out_t, imu_incs, g_hat,
+                        r_cam_imu=imu_r_cam,
+                    )
+                    out_r, out_t = sol.poses_r, sol.poses_t
+                    metric_scale = sol.scale
+                    metric_poses = True
         except np.linalg.LinAlgError:
             pass
     return OdometryResult(
-        poses_r=np.asarray(solved.poses_r),
-        poses_t=np.asarray(solved.poses_t),
+        poses_r=out_r,
+        poses_t=out_t,
         landmarks=last_result.landmarks,
         keyframe_indices=nodes,
         track_count=last_result.track_count,
         mean_reprojection_error=resid,
         track_loss_frames=sorted(loss_frames),
         metric_scale=metric_scale,
+        metric_poses=metric_poses,
     )
