@@ -158,11 +158,13 @@ def test_vo_suite_within_committed_baseline():
     # Sanity on the absolute numbers, not just the relative gate: every
     # trajectory spans >= ~0.1 world units; ATE must stay well under
     # that. square_loop carries more interior drift than the straight
-    # sequences (chunk-fused trajectory; its baseline ATE is 0.0305),
-    # so its bound is looser but still <half the trajectory span.
+    # sequences (chunk-fused trajectory; baseline ATE 0.0305); swing_imu
+    # is scored METRIC (no scale gauge to absorb error) and its absolute
+    # ATE is vision-limited on the planar scene (see vo_verifier's
+    # SEQUENCE_MODES note; baseline 0.0717 on a 0.354 span).
+    bounds = {"square_loop": 0.05, "swing_imu": 0.12}
     for r in results:
-        bound = 0.05 if r["sequence"] == "square_loop" else 0.03
-        assert r["metrics"]["ate_rmse"] < bound, r
+        assert r["metrics"]["ate_rmse"] < bounds.get(r["sequence"], 0.03), r
         assert r["metrics"]["rpe_rot_deg"] < 1.0, r
         assert r["track_count"] > 100
 

@@ -145,10 +145,16 @@ def trajectory_metrics(
     est_t: np.ndarray,
     gt_r: np.ndarray,
     gt_t: np.ndarray,
+    with_scale: bool = True,
 ) -> Dict[str, float]:
     """All trajectory metrics in one dict (the VO analog of
-    tpuflow.eval.metrics.compute_all_metrics)."""
-    ate, scale = ate_rmse(est_r, est_t, gt_r, gt_t, with_scale=True)
+    tpuflow.eval.metrics.compute_all_metrics).
+
+    ``with_scale=False`` scores METRIC trajectories (e.g. the
+    tightly-coupled VI refinement's): SE(3) alignment only, so a scale
+    error shows up in ATE instead of being absorbed by the gauge.
+    """
+    ate, scale = ate_rmse(est_r, est_t, gt_r, gt_t, with_scale=with_scale)
     rpe_t, rpe_r = rpe(est_r, est_t, gt_r, gt_t, delta=1, scale=scale)
     return {
         "ate_rmse": ate,

@@ -119,20 +119,79 @@ def _poses_square(n: int) -> Tuple[np.ndarray, np.ndarray]:
     return np.stack(rs), np.stack(ts)
 
 
+# Accelerating sequence for the visual-inertial stack: steady lateral
+# drift + sinusoidal swing. The swing provides the acceleration content
+# scale/gravity need (constant velocity is unobservable to an
+# accelerometer); the drift keeps velocity strictly positive — PURE
+# oscillation is a measured vision-BA degeneracy (the oscillating
+# planar scene admits a wrong-shape solution at ~0.55 px reprojection,
+# so there is no valid vision trajectory for the IMU to refine).
+# Closed forms shared by the pose generator and the IMU synthesizer.
+SWING_AMP, SWING_HZ, SWING_DRIFT, SWING_FRAME_RATE = 0.03, 0.5, 0.1, 4.0
+GRAVITY_W = np.array([0.0, 0.0, -9.81])
+
+
+def _swing_x(t: np.ndarray):
+    om = 2 * np.pi * SWING_HZ
+    return SWING_DRIFT * t + SWING_AMP * np.sin(om * t)
+
+
+def _poses_swing(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    rs, ts = [], []
+    for i in range(n):
+        t = i / SWING_FRAME_RATE
+        r, t_ = _pose_from_center(np.eye(3), [_swing_x(t), 0.0, 0.0])
+        rs.append(r)
+        ts.append(t_)
+    return np.stack(rs), np.stack(ts)
+
+
+def _imu_swing(n: int, rate_hz: float = 200.0):
+    """Exact IMU for the swing trajectory: zero gyro, specific force
+    f = a_world - g in the (world-aligned) body frame."""
+    om = 2 * np.pi * SWING_HZ
+    t_end = (n - 1) / SWING_FRAME_RATE
+    m = int(t_end * rate_hz) + 1
+    ts = np.arange(m) / rate_hz
+    ax = -SWING_AMP * om * om * np.sin(om * ts)
+    accel = np.stack(
+        [ax, np.zeros(m), np.full(m, -GRAVITY_W[2])], 1
+    ).astype(np.float32)
+    gyro = np.zeros((m, 3), np.float32)
+    frame_times = np.arange(n) / SWING_FRAME_RATE
+    return ts, gyro, accel, frame_times
+
+
 SEQUENCES = {
     "strafe_x": _poses_strafe,
     "dolly_z": _poses_dolly,
     "arc_yaw": _poses_arc,
     "square_loop": _poses_square,
+    "swing_imu": _poses_swing,
 }
 
 # Per-sequence pipeline mode: the square loop runs the chunked
 # local-BA + pose-graph pipeline WITH loop closure (the revisit at the
-# end is the point); the rest run the incremental session.
-SEQUENCE_MODES = {"square_loop": "chunked_loop"}
+# end is the point); swing_imu runs chunked with exact synthetic IMU
+# and the tightly-coupled VI refinement, scored METRIC (SE(3)-only
+# alignment — a scale error shows up in ATE). swing_imu's absolute ATE
+# is vision-limited, not IMU-limited: the fronto-planar scene distorts
+# the monocular BA's trajectory shape (reseeded landmark cohorts
+# reconcile scale imperfectly), and VI refinement cannot out-vote a
+# wrong vision shape everywhere — the same VI machinery recovers 0.985
+# of the metric span on a well-behaved vision trajectory
+# (tests/test_vo_imu.py::test_chunked_imu_tight_recovers_metric_span).
+# The gate still regression-pins the ENTIRE VI code path (preintegrate
+# -> chunk metric anchoring -> gyro edges -> tight refinement) end to
+# end. The rest run the incremental session.
+SEQUENCE_MODES = {
+    "square_loop": "chunked_loop",
+    "swing_imu": "chunked_imu_tight",
+}
 # Fixed lengths where the geometry dictates one (a square needs 4 full
-# sides); --frames applies to the rest.
-SEQUENCE_LENGTHS = {"square_loop": 17}
+# sides; the swing needs full acceleration periods); --frames applies
+# to the rest.
+SEQUENCE_LENGTHS = {"square_loop": 17, "swing_imu": 16}
 
 
 def intrinsics() -> Tuple[float, float, float, float]:
@@ -199,7 +258,8 @@ def verify_sequence(
     gt_r, gt_t = SEQUENCES[name](n_frames)
     frames = render_sequence(gt_r, gt_t)
     n_frames = len(frames)  # report what was actually rendered
-    if SEQUENCE_MODES.get(name) == "chunked_loop":
+    mode = SEQUENCE_MODES.get(name)
+    if mode == "chunked_loop":
         result = run_odometry_chunked(
             frames,
             intrinsics(),
@@ -208,6 +268,19 @@ def verify_sequence(
             ba_iterations=ba_iterations,
             backend=backend,
             loop_closure=True,
+        )
+    elif mode == "chunked_imu_tight":
+        imu_t, imu_gyro, imu_accel, frame_times = _imu_swing(n_frames)
+        result = run_odometry_chunked(
+            frames,
+            intrinsics(),
+            chunk_size=6,
+            init_depth=PLANE_DEPTH,
+            ba_iterations=ba_iterations,
+            backend=backend,
+            imu=(imu_t, imu_gyro, imu_accel),
+            frame_times=frame_times,
+            imu_tight=True,
         )
     else:
         result = run_odometry(
@@ -220,10 +293,14 @@ def verify_sequence(
     # Keyframe stride is 1 here, so keyframe poses line up 1:1 with the
     # ground-truth frames.
     kf = result.keyframe_indices
+    # Metric (VI-refined) trajectories are scored with SE(3)-only
+    # alignment — the recovered scale is part of what's being graded.
     metrics = trajectory_metrics(
-        result.poses_r, result.poses_t, gt_r[kf], gt_t[kf]
+        result.poses_r, result.poses_t, gt_r[kf], gt_t[kf],
+        with_scale=not result.metric_poses,
     )
     metrics["mean_reprojection_error"] = float(result.mean_reprojection_error)
+    metrics["metric_poses"] = bool(result.metric_poses)
     if verbose:
         print(
             f"{name:12s} ate_rmse={metrics['ate_rmse']:.5f} "

@@ -940,6 +940,43 @@ def run_odometry_chunked(
         ri, ti = se3.inverse(jnp.asarray(pr[i]), jnp.asarray(pt[i]))
         return se3.compose(ri, ti, jnp.asarray(pr[j]), jnp.asarray(pt[j]))
 
+    imu_arrays = None
+    if imu is not None:
+        if frame_times is None:
+            raise ValueError("imu requires frame_times (per-frame timestamps)")
+        from tpuflow.vo import imu as imu_mod
+
+        imu_arrays = imu
+        frame_times = np.asarray(frame_times, np.float64)
+
+    def _chunk_metric_scale(res, kf_global):
+        """Per-chunk metric scale from the linear VI alignment.
+
+        The |t|-ratio scale chain divides by the shared edge's
+        translation norm — near-zero at motion turning points (e.g. the
+        swing sequence reverses inside a chunk boundary), which garbles
+        every later chunk's scale. With an accelerometer available each
+        chunk's scale is observable DIRECTLY; chaining is only the
+        fallback."""
+        if imu_arrays is None or len(kf_global) < 4:
+            return None
+        imu_t, imu_gyro, imu_accel = imu_arrays
+        kf_times = frame_times[np.asarray(kf_global)]
+        incs = imu_mod.preintegrate_segments(
+            imu_t, imu_gyro, imu_accel, kf_times
+        )
+        if any(int(inc.n_samples) == 0 for inc in incs):
+            return None
+        try:
+            s_c, g_c, _v, _rms = imu_mod.estimate_scale_and_gravity(
+                res.poses_r, res.poses_t, incs
+            )
+        except np.linalg.LinAlgError:
+            return None
+        if 8.0 < float(np.linalg.norm(g_c)) < 12.0 and s_c > 0:
+            return float(s_c)
+        return None
+
     edges = {}  # (gi, gj) -> (R, t)
     scale = 1.0
     prev_shared = None  # ((gi, gj), |t| in previous chunk's scale)
@@ -964,12 +1001,31 @@ def run_odometry_chunked(
             for i in range(len(kf) - 1)
         ]
         if prev_shared is not None:
+            # Primary: |t|-ratio chaining through the shared overlap
+            # edge (keeps the chunks' RELATIVE scales consistent — the
+            # vision shape is self-consistent even when its absolute
+            # scale is not). Degenerate when the shared edge's
+            # translation is tiny (motion turning point at a chunk
+            # boundary): the division amplifies noise and garbles every
+            # later chunk — there, fall back to the chunk's own
+            # IMU-anchored metric scale when an accelerometer is
+            # available (measured on the swing sequence: the chained
+            # tail collapsed to ~0.3x of truth before this fallback).
             (gi, gj), prev_norm = prev_shared
             match = [r for r in rels if (r[0], r[1]) == (gi, gj)]
-            if match:
-                tn = float(np.linalg.norm(np.asarray(match[0][2][1])))
-                if tn > 1e-9:
-                    scale *= prev_norm / tn
+            tn = (
+                float(np.linalg.norm(np.asarray(match[0][2][1])))
+                if match else 0.0
+            )
+            typical = float(np.median(
+                [np.linalg.norm(np.asarray(t_)) for _a, _b, (_r, t_) in rels]
+            ))
+            if tn > max(1e-9, 0.2 * typical):
+                scale *= prev_norm / tn
+            else:
+                metric_chunk_scale = _chunk_metric_scale(res, kf)
+                if metric_chunk_scale is not None:
+                    scale = metric_chunk_scale
         for gi, gj, (rr, tt) in rels:
             if (gi, gj) not in edges:
                 edges[(gi, gj)] = (np.asarray(rr), np.asarray(tt) * scale)
@@ -1044,12 +1100,8 @@ def run_odometry_chunked(
     )
     imu_incs = None
     if imu is not None:
-        if frame_times is None:
-            raise ValueError("imu requires frame_times (per-frame timestamps)")
-        from tpuflow.vo import imu as imu_mod
-
         imu_t, imu_gyro, imu_accel = imu
-        node_times = np.asarray(frame_times, np.float64)[np.asarray(nodes)]
+        node_times = frame_times[np.asarray(nodes)]
         imu_incs = imu_mod.preintegrate_segments(
             imu_t, imu_gyro, imu_accel, node_times
         )
