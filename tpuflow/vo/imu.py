@@ -46,6 +46,17 @@ class ImuIncrement(NamedTuple):
     # "no motion" (a weight-2 zero-rotation edge built from one would
     # actively corrupt a rotating trajectory).
     n_samples: int = 0
+    # First-order bias Jacobians (Forster et al. recursions), so a bias
+    # update db re-corrects the increments WITHOUT re-integrating:
+    #   dR(b+db_g) ~= dR Exp(j_r_bg db_g)
+    #   dv(b+db)   ~= dv + j_v_bg db_g + j_v_ba db_a
+    #   dp(b+db)   ~= dp + j_p_bg db_g + j_p_ba db_a
+    # (tpuflow.vo.vi_graph estimates the shared biases this way.)
+    j_r_bg: jax.Array | None = None   # (3, 3)
+    j_v_bg: jax.Array | None = None
+    j_v_ba: jax.Array | None = None
+    j_p_bg: jax.Array | None = None
+    j_p_ba: jax.Array | None = None
 
 
 def preintegrate(
@@ -79,18 +90,30 @@ def preintegrate(
         accel = accel - jnp.asarray(accel_bias, jnp.float32)
 
     def step(carry, sample):
-        r, v, p = carry
+        r, v, p, j_r, j_vg, j_va, j_pg, j_pa = carry
         w, a, h = sample
         a_world = r @ a
+        # Bias Jacobians first (they use the PRE-update r, j_r, j_v*).
+        a_hat = se3.hat(a)
+        j_pg = j_pg + j_vg * h - 0.5 * (r @ a_hat @ j_r) * h * h
+        j_pa = j_pa + j_va * h - 0.5 * r * h * h
+        j_vg = j_vg - (r @ a_hat @ j_r) * h
+        j_va = j_va - r * h
+        step_r = se3.so3_exp(w * h)
+        j_r = step_r.T @ j_r - se3.so3_right_jacobian(w * h) * h
         p = p + v * h + 0.5 * a_world * h * h
         v = v + a_world * h
-        r = r @ se3.so3_exp(w * h)
-        return (r, v, p), None
+        r = r @ step_r
+        return (r, v, p, j_r, j_vg, j_va, j_pg, j_pa), None
 
-    init = (jnp.eye(3), jnp.zeros(3), jnp.zeros(3))
-    (r, v, p), _ = jax.lax.scan(step, init, (gyro, accel, dts))
+    z33 = jnp.zeros((3, 3))
+    init = (jnp.eye(3), jnp.zeros(3), jnp.zeros(3), z33, z33, z33, z33, z33)
+    (r, v, p, j_r, j_vg, j_va, j_pg, j_pa), _ = jax.lax.scan(
+        step, init, (gyro, accel, dts)
+    )
     return ImuIncrement(
-        delta_r=r, delta_v=v, delta_p=p, dt=dts.sum(), n_samples=n
+        delta_r=r, delta_v=v, delta_p=p, dt=dts.sum(), n_samples=n,
+        j_r_bg=j_r, j_v_bg=j_vg, j_v_ba=j_va, j_p_bg=j_pg, j_p_ba=j_pa,
     )
 
 

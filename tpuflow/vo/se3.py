@@ -87,3 +87,23 @@ def retract(r, t, xi: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Left-multiplicative update: exp(xi) * (R, t)."""
     dr, dt = se3_exp(xi)
     return compose(dr, dt, r, t)
+
+
+def so3_right_jacobian(phi: jax.Array) -> jax.Array:
+    """Right Jacobian of SO(3): d Exp(phi + d) ~= Exp(phi) Exp(Jr(phi) d).
+
+    Taylor-guarded near zero (Jr -> I - 0.5 hat(phi)); used by the
+    IMU-preintegration bias Jacobians (tpuflow.vo.imu).
+    """
+    theta2 = jnp.dot(phi, phi)
+    theta = jnp.sqrt(theta2 + _EPS)
+    k = hat(phi)
+    a = jnp.where(
+        theta2 > _EPS, (1.0 - jnp.cos(theta)) / (theta2 + _EPS), 0.5
+    )
+    b = jnp.where(
+        theta2 > _EPS,
+        (theta - jnp.sin(theta)) / (theta2 * theta + _EPS),
+        1.0 / 6.0,
+    )
+    return jnp.eye(3) - a * k + b * (k @ k)

@@ -46,20 +46,30 @@ class ViSolution(NamedTuple):
     velocities: np.ndarray  # (K, 3) world-frame
     scale: float          # vision-to-metric scale factor applied
     residual_rms: float   # final weighted residual RMS
+    gyro_bias: np.ndarray | None = None   # (3,) when estimate_bias
+    accel_bias: np.ndarray | None = None  # (3,)
 
 
-def _solve_states(r_wb0, p0, v0, meas, gravity, weights, iterations):
-    """GN over (R_wb, p, v) x K + log-scale. All jnp; jitted by caller."""
-    (imu_dr, imu_dv, imu_dp, imu_dt, vis_dr, vis_dt) = meas
+def _solve_states(r_wb0, p0, v0, meas, gravity, weights, iterations,
+                  estimate_bias: bool = False):
+    """GN over (R_wb, p, v) x K + log-scale (+ shared biases when
+    ``estimate_bias``). All jnp; K is small so dense normal equations."""
+    (imu_dr, imu_dv, imu_dp, imu_dt, vis_dr, vis_dt,
+     j_r_bg, j_v_bg, j_v_ba, j_p_bg, j_p_ba) = meas
     w_gyro, w_acc, w_vr, w_vt = weights
     k = r_wb0.shape[0]
-    n_t = 9 * k + 1
+    n_t = 9 * k + 1 + (6 if estimate_bias else 0)
 
-    def residuals(tangent, r_wb, p, v, log_s):
+    def residuals(tangent, r_wb, p, v, log_s, bias):
         phi = tangent[: 3 * k].reshape(k, 3)
         dp_t = tangent[3 * k : 6 * k].reshape(k, 3)
         dv_t = tangent[6 * k : 9 * k].reshape(k, 3)
         ds = tangent[9 * k]
+        if estimate_bias:
+            b = bias + tangent[9 * k + 1 : 9 * k + 7]
+        else:
+            b = jnp.zeros(6)
+        b_g, b_a = b[:3], b[3:]
         r_new = jax.vmap(lambda r, f: r @ se3.so3_exp(f))(r_wb, phi)
         p_new = p + dp_t
         v_new = v + dv_t
@@ -69,12 +79,17 @@ def _solve_states(r_wb0, p0, v0, meas, gravity, weights, iterations):
             ri, rj = r_new[i], r_new[i + 1]
             rit = ri.T
             dt = imu_dt[i]
-            r_imu = se3.so3_log(imu_dr[i].T @ (rit @ rj))
-            r_vel = rit @ (v_new[i + 1] - v_new[i] - gravity * dt) - imu_dv[i]
+            # First-order bias-corrected increments (ImuIncrement
+            # Jacobians; re-correcting beats re-integrating inside GN).
+            dr_c = imu_dr[i] @ se3.so3_exp(j_r_bg[i] @ b_g)
+            dv_c = imu_dv[i] + j_v_bg[i] @ b_g + j_v_ba[i] @ b_a
+            dp_c = imu_dp[i] + j_p_bg[i] @ b_g + j_p_ba[i] @ b_a
+            r_imu = se3.so3_log(dr_c.T @ (rit @ rj))
+            r_vel = rit @ (v_new[i + 1] - v_new[i] - gravity * dt) - dv_c
             r_pos = (
                 rit @ (p_new[i + 1] - p_new[i] - v_new[i] * dt
                        - 0.5 * gravity * dt * dt)
-                - imu_dp[i]
+                - dp_c
             )
             r_vr = se3.so3_log(vis_dr[i].T @ (rit @ rj))
             r_vt = s * vis_dt[i] - rit @ (p_new[i + 1] - p_new[i])
@@ -84,15 +99,19 @@ def _solve_states(r_wb0, p0, v0, meas, gravity, weights, iterations):
             ])
 
         edge_res = jax.vmap(per_edge)(jnp.arange(k - 1)).reshape(-1)
-        # Gauge prior: pin node 0's pose at its initialization.
+        # Gauge prior: pin node 0's pose at its initialization; soft
+        # zero prior on the biases (real biases are small, and the
+        # prior keeps short weakly-exciting sequences well-posed).
         prior = 10.0 * jnp.concatenate([phi[0], dp_t[0]])
+        if estimate_bias:
+            prior = jnp.concatenate([prior, 0.5 * b])
         return jnp.concatenate([edge_res, prior])
 
     def gn_step(carry, _):
-        r_wb, p, v, log_s = carry
+        r_wb, p, v, log_s, bias = carry
         zero = jnp.zeros(n_t)
-        res = residuals(zero, r_wb, p, v, log_s)
-        jac = jax.jacfwd(residuals)(zero, r_wb, p, v, log_s)
+        res = residuals(zero, r_wb, p, v, log_s, bias)
+        jac = jax.jacfwd(residuals)(zero, r_wb, p, v, log_s, bias)
         h = jac.T @ jac + 1e-8 * jnp.eye(n_t)
         dx = jnp.linalg.solve(h, -(jac.T @ res))
         phi = dx[: 3 * k].reshape(k, 3)
@@ -100,15 +119,17 @@ def _solve_states(r_wb0, p0, v0, meas, gravity, weights, iterations):
         p = p + dx[3 * k : 6 * k].reshape(k, 3)
         v = v + dx[6 * k : 9 * k].reshape(k, 3)
         log_s = log_s + dx[9 * k]
-        return (r_wb, p, v, log_s), None
+        if estimate_bias:
+            bias = bias + dx[9 * k + 1 : 9 * k + 7]
+        return (r_wb, p, v, log_s, bias), None
 
-    init = (r_wb0, p0, v0, jnp.asarray(0.0))
-    (r_wb, p, v, log_s), _ = jax.lax.scan(
+    init = (r_wb0, p0, v0, jnp.asarray(0.0), jnp.zeros(6))
+    (r_wb, p, v, log_s, bias), _ = jax.lax.scan(
         gn_step, init, None, length=iterations
     )
-    final = residuals(jnp.zeros(n_t), r_wb, p, v, log_s)
+    final = residuals(jnp.zeros(n_t), r_wb, p, v, log_s, bias)
     rms = jnp.sqrt(jnp.mean(final * final))
-    return r_wb, p, v, jnp.exp(log_s), rms
+    return r_wb, p, v, jnp.exp(log_s), rms, bias
 
 
 def solve_vi(
@@ -122,6 +143,7 @@ def solve_vi(
     w_vis_rot: float = 1.0,
     w_vis_trans: float = 1.0,
     r_cam_imu: np.ndarray | None = None,
+    estimate_bias: bool = False,
 ) -> ViSolution:
     """Refine a monocular trajectory into a metric one with IMU factors.
 
@@ -133,6 +155,13 @@ def solve_vi(
     VO world frame is gravity-aligned). Initialization: poses from
     vision (positions pre-scaled by the linear alignment's estimate),
     velocities from the same alignment.
+
+    ``estimate_bias=True`` adds shared gyro/accel bias states, applied
+    to the increments through their first-order bias Jacobians
+    (ImuIncrement.j_*; no re-integration inside the optimizer) with a
+    soft zero prior. Needs acceleration/rotation excitation to separate
+    biases from gravity/velocity — check the returned biases are
+    physical (real MEMS biases are < ~0.05 rad/s / ~0.5 m/s^2).
     """
     k = len(poses_r)
     if len(increments) != k - 1:
@@ -173,6 +202,15 @@ def solve_vi(
         [r_wb0[i].T @ (p0[i + 1] - p0[i]) for i in range(k - 1)]
     )
 
+    z33 = jnp.zeros((3, 3), jnp.float32)
+
+    def jstack(field):
+        return jnp.stack([
+            z33 if getattr(inc, field) is None
+            else jnp.asarray(getattr(inc, field), jnp.float32)
+            for inc in increments
+        ])
+
     meas = (
         jnp.stack([jnp.asarray(inc.delta_r, jnp.float32) for inc in increments]),
         jnp.stack([jnp.asarray(inc.delta_v, jnp.float32) for inc in increments]),
@@ -180,25 +218,30 @@ def solve_vi(
         jnp.asarray([float(inc.dt) for inc in increments], jnp.float32),
         jnp.asarray(vis_dr),
         jnp.asarray(vis_dt),
+        jstack("j_r_bg"), jstack("j_v_bg"), jstack("j_v_ba"),
+        jstack("j_p_bg"), jstack("j_p_ba"),
     )
     # The solver's scale multiplies vis_dt, whose input positions are
     # already s0-scaled — so the solved s is a CORRECTION near 1, and
     # the total vision-to-metric scale is s0 * s.
-    r_wb, p, v, s_corr, rms = _solve_states(
+    r_wb, p, v, s_corr, rms, bias = _solve_states(
         jnp.asarray(r_wb0), jnp.asarray(p0),
         jnp.asarray(v0, jnp.float32),
         meas, jnp.asarray(gravity, jnp.float32),
         (float(w_gyro), float(w_acc), float(w_vis_rot), float(w_vis_trans)),
-        int(iterations),
+        int(iterations), estimate_bias=estimate_bias,
     )
     r_wb = np.asarray(r_wb)
     p = np.asarray(p)
     out_r = np.transpose(r_wb @ r_ci.T, (0, 2, 1))     # back to world->cam
     out_t = -np.einsum("kij,kj->ki", out_r, p)
+    bias_np = np.asarray(bias, np.float32)
     return ViSolution(
         poses_r=out_r.astype(np.float32),
         poses_t=out_t.astype(np.float32),
         velocities=np.asarray(v, np.float64).astype(np.float32),
         scale=float(s0) * float(s_corr),
         residual_rms=float(rms),
+        gyro_bias=bias_np[:3] if estimate_bias else None,
+        accel_bias=bias_np[3:] if estimate_bias else None,
     )
