@@ -19,13 +19,15 @@ one step further and re-optimizes the trajectory itself: keyframe states
   globally; scale is observable from the accelerometer).
 
 Full-state Gauss-Newton: residuals are one function of the stacked
-tangent (K x 9 + 1 for log-scale), re-linearized by ``jax.jacfwd`` each
+tangent (K x 9 + 1 for log-scale, + 6 shared bias states with
+``estimate_bias=True``), re-linearized by ``jax.jacfwd`` each
 iteration — keyframe counts are small (the same dense-normal-equations
 regime as vo.pose_graph). Velocity/bias states are exactly what the
 rotation-only gyro edges (vo.imu.gyro_rotation_edges) cannot express;
-biases stay known/zero here (estimating them online is recorded future
-work, TODO.md). No reference counterpart — the reference stops at dense
-flow (SURVEY.md §5).
+bias updates apply through the increments' first-order bias Jacobians
+(ImuIncrement.j_*), never re-integrating inside the optimizer. No
+reference counterpart — the reference stops at dense flow
+(SURVEY.md §5).
 """
 
 from __future__ import annotations
