@@ -683,7 +683,7 @@ def test_vi_bias_jacobians_first_order():
     n, dt = 150, 0.005
     gyro = rng.normal(scale=0.5, size=(n, 3)).astype(np.float32)
     accel = rng.normal(scale=3.0, size=(n, 3)).astype(np.float32)
-    base = imu.preintegrate(gyro, accel, dt)
+    base = imu.preintegrate(gyro, accel, dt, bias_jacobians=True)
     db_g = np.array([0.01, -0.02, 0.015])
     db_a = np.array([0.05, -0.08, 0.03])
     ref = imu.preintegrate(gyro, accel, dt, gyro_bias=db_g, accel_bias=db_a)
@@ -728,7 +728,9 @@ def test_vi_refinement_estimates_biases():
     accel = np.stack(
         [_yaw(lam * t).T @ (acc(t) - g_world) for t in ts]
     ).astype(np.float32) + b_a
-    incs_biased = imu.preintegrate_segments(ts, gyro, accel, kf_times)
+    incs_biased = imu.preintegrate_segments(
+        ts, gyro, accel, kf_times, bias_jacobians=True
+    )
 
     def max_pos_err(sol):
         c = -np.einsum(

@@ -167,6 +167,11 @@ def test_vo_suite_within_committed_baseline():
         assert r["metrics"]["ate_rmse"] < bounds.get(r["sequence"], 0.03), r
         assert r["metrics"]["rpe_rot_deg"] < 1.0, r
         assert r["track_count"] > 100
+        if r["sequence"] == "swing_imu":
+            # The VI refinement must actually run on the jnp path — a
+            # silent fallback to loose Sim(3) scoring would absorb the
+            # very scale error the metric gate exists to catch.
+            assert r["metrics"]["metric_poses"] is True, r
 
 
 def test_baseline_provenance_and_regression_flag(tmp_path):

@@ -373,6 +373,19 @@ def compare_against_baseline(
             if verbose:
                 print(f"  {name}: not in baseline (skipping)")
             continue
+        # The scoring REGIME is gated too: losing metric_poses switches
+        # swing_imu to Sim(3) alignment, whose gauge absorbs exactly the
+        # scale error the metric score exists to check — a silent
+        # fallback would otherwise stay within the 10% metric window.
+        base_mp = baseline[name]["metrics"].get("metric_poses")
+        curr_mp = result["metrics"].get("metric_poses")
+        if base_mp is not None and curr_mp is not None and base_mp != curr_mp:
+            all_passed = False
+            print(
+                f"  REGRESSION {name}: metric_poses changed "
+                f"{base_mp} -> {curr_mp} (scoring regime switch)"
+            )
+            continue
         for metric in GATED_METRICS:
             curr = result["metrics"][metric]
             base = baseline[name]["metrics"][metric]

@@ -65,6 +65,7 @@ def preintegrate(
     dt: jax.Array | float,
     gyro_bias: jax.Array | None = None,
     accel_bias: jax.Array | None = None,
+    bias_jacobians: bool = False,
 ) -> ImuIncrement:
     """Integrate raw IMU samples into an :class:`ImuIncrement`.
 
@@ -79,6 +80,11 @@ def preintegrate(
 
     Gravity is NOT removed here (raw specific force is integrated, as in
     standard preintegration); consumers subtract g at the factor level.
+
+    ``bias_jacobians=True`` additionally accumulates the five 3x3
+    first-order bias Jacobians (five extra small matmuls per sample —
+    off by default so the common gyro-edge / alignment paths stay
+    cheap; vo.vi_graph's bias estimation needs them).
     """
     gyro = jnp.asarray(gyro, jnp.float32)
     accel = jnp.asarray(accel, jnp.float32)
@@ -89,31 +95,49 @@ def preintegrate(
     if accel_bias is not None:
         accel = accel - jnp.asarray(accel_bias, jnp.float32)
 
+    if bias_jacobians:
+        def step_j(carry, sample):
+            r, v, p, j_r, j_vg, j_va, j_pg, j_pa = carry
+            w, a, h = sample
+            a_world = r @ a
+            # Bias Jacobians first (they use the PRE-update r, j_r, j_v*).
+            a_hat = se3.hat(a)
+            j_pg = j_pg + j_vg * h - 0.5 * (r @ a_hat @ j_r) * h * h
+            j_pa = j_pa + j_va * h - 0.5 * r * h * h
+            j_vg = j_vg - (r @ a_hat @ j_r) * h
+            j_va = j_va - r * h
+            step_r = se3.so3_exp(w * h)
+            j_r = step_r.T @ j_r - se3.so3_right_jacobian(w * h) * h
+            p = p + v * h + 0.5 * a_world * h * h
+            v = v + a_world * h
+            r = r @ step_r
+            return (r, v, p, j_r, j_vg, j_va, j_pg, j_pa), None
+
+        z33 = jnp.zeros((3, 3))
+        init = (
+            jnp.eye(3), jnp.zeros(3), jnp.zeros(3), z33, z33, z33, z33, z33,
+        )
+        (r, v, p, j_r, j_vg, j_va, j_pg, j_pa), _ = jax.lax.scan(
+            step_j, init, (gyro, accel, dts)
+        )
+        return ImuIncrement(
+            delta_r=r, delta_v=v, delta_p=p, dt=dts.sum(), n_samples=n,
+            j_r_bg=j_r, j_v_bg=j_vg, j_v_ba=j_va, j_p_bg=j_pg, j_p_ba=j_pa,
+        )
+
     def step(carry, sample):
-        r, v, p, j_r, j_vg, j_va, j_pg, j_pa = carry
+        r, v, p = carry
         w, a, h = sample
         a_world = r @ a
-        # Bias Jacobians first (they use the PRE-update r, j_r, j_v*).
-        a_hat = se3.hat(a)
-        j_pg = j_pg + j_vg * h - 0.5 * (r @ a_hat @ j_r) * h * h
-        j_pa = j_pa + j_va * h - 0.5 * r * h * h
-        j_vg = j_vg - (r @ a_hat @ j_r) * h
-        j_va = j_va - r * h
-        step_r = se3.so3_exp(w * h)
-        j_r = step_r.T @ j_r - se3.so3_right_jacobian(w * h) * h
         p = p + v * h + 0.5 * a_world * h * h
         v = v + a_world * h
-        r = r @ step_r
-        return (r, v, p, j_r, j_vg, j_va, j_pg, j_pa), None
+        r = r @ se3.so3_exp(w * h)
+        return (r, v, p), None
 
-    z33 = jnp.zeros((3, 3))
-    init = (jnp.eye(3), jnp.zeros(3), jnp.zeros(3), z33, z33, z33, z33, z33)
-    (r, v, p, j_r, j_vg, j_va, j_pg, j_pa), _ = jax.lax.scan(
-        step, init, (gyro, accel, dts)
-    )
+    init = (jnp.eye(3), jnp.zeros(3), jnp.zeros(3))
+    (r, v, p), _ = jax.lax.scan(step, init, (gyro, accel, dts))
     return ImuIncrement(
-        delta_r=r, delta_v=v, delta_p=p, dt=dts.sum(), n_samples=n,
-        j_r_bg=j_r, j_v_bg=j_vg, j_v_ba=j_va, j_p_bg=j_pg, j_p_ba=j_pa,
+        delta_r=r, delta_v=v, delta_p=p, dt=dts.sum(), n_samples=n
     )
 
 
@@ -122,6 +146,7 @@ def preintegrate_segments(
     gyro: np.ndarray,
     accel: np.ndarray,
     boundaries: np.ndarray,
+    bias_jacobians: bool = False,
 ) -> list[ImuIncrement]:
     """Split a sample stream at ``boundaries`` timestamps and
     preintegrate each [b_k, b_{k+1}) segment.
@@ -156,7 +181,12 @@ def preintegrate_segments(
                 )
             )
             continue
-        out.append(preintegrate(gyro[sel], accel[sel], dts[sel]))
+        out.append(
+            preintegrate(
+                gyro[sel], accel[sel], dts[sel],
+                bias_jacobians=bias_jacobians,
+            )
+        )
     return out
 
 

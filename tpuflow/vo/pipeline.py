@@ -969,7 +969,7 @@ def run_odometry_chunked(
             return None
         try:
             s_c, g_c, _v, _rms = imu_mod.estimate_scale_and_gravity(
-                res.poses_r, res.poses_t, incs
+                res.poses_r, res.poses_t, incs, r_cam_imu=imu_r_cam
             )
         except np.linalg.LinAlgError:
             return None
@@ -980,6 +980,7 @@ def run_odometry_chunked(
     edges = {}  # (gi, gj) -> (R, t)
     scale = 1.0
     prev_shared = None  # ((gi, gj), |t| in previous chunk's scale)
+    chunk0_metric = None  # chunk 0's units -> metric (for the fallback)
     last_result = None
     # Loss frames are detected per chunk with LOCAL frame indices;
     # collect them as global indices, deduping across chunk overlaps
@@ -1000,17 +1001,25 @@ def run_odometry_chunked(
             (kf[i], kf[i + 1], rel(res.poses_r, res.poses_t, i, i + 1))
             for i in range(len(kf) - 1)
         ]
-        if prev_shared is not None:
+        if prev_shared is None:
+            # First chunk defines the trajectory's working units; cache
+            # its metric scale so a later degenerate-boundary fallback
+            # can re-express a chunk in CHUNK-0 units (not raw metric —
+            # mixing units would put a scale kink at the boundary).
+            chunk0_metric = _chunk_metric_scale(res, kf)
+        else:
             # Primary: |t|-ratio chaining through the shared overlap
             # edge (keeps the chunks' RELATIVE scales consistent — the
             # vision shape is self-consistent even when its absolute
             # scale is not). Degenerate when the shared edge's
             # translation is tiny (motion turning point at a chunk
             # boundary): the division amplifies noise and garbles every
-            # later chunk — there, fall back to the chunk's own
-            # IMU-anchored metric scale when an accelerometer is
-            # available (measured on the swing sequence: the chained
-            # tail collapsed to ~0.3x of truth before this fallback).
+            # later chunk — there, fall back to the chunk's IMU-anchored
+            # metric scale divided by chunk 0's (both available only
+            # with an accelerometer; measured on the swing sequence the
+            # chained tail collapsed to ~0.3x of truth before this
+            # fallback). A merely SMALL-but-measured shared edge without
+            # IMU keeps the old chain behavior (tn > 1e-9).
             (gi, gj), prev_norm = prev_shared
             match = [r for r in rels if (r[0], r[1]) == (gi, gj)]
             tn = (
@@ -1020,12 +1029,15 @@ def run_odometry_chunked(
             typical = float(np.median(
                 [np.linalg.norm(np.asarray(t_)) for _a, _b, (_r, t_) in rels]
             ))
-            if tn > max(1e-9, 0.2 * typical):
+            metric_chunk_scale = None
+            if tn <= 0.2 * typical and chunk0_metric is not None:
+                s_c = _chunk_metric_scale(res, kf)
+                if s_c is not None:
+                    metric_chunk_scale = s_c / chunk0_metric
+            if metric_chunk_scale is not None:
+                scale = metric_chunk_scale
+            elif tn > 1e-9:
                 scale *= prev_norm / tn
-            else:
-                metric_chunk_scale = _chunk_metric_scale(res, kf)
-                if metric_chunk_scale is not None:
-                    scale = metric_chunk_scale
         for gi, gj, (rr, tt) in rels:
             if (gi, gj) not in edges:
                 edges[(gi, gj)] = (np.asarray(rr), np.asarray(tt) * scale)
@@ -1166,10 +1178,22 @@ def run_odometry_chunked(
                     sol = vi_graph.solve_vi(
                         out_r, out_t, imu_incs, g_hat,
                         r_cam_imu=imu_r_cam,
+                        init_scale=s_hat, init_velocities=_v,
                     )
-                    out_r, out_t = sol.poses_r, sol.poses_t
-                    metric_scale = sol.scale
-                    metric_poses = True
+                    # Guard the adoption: jnp.linalg.solve returns
+                    # garbage (not an exception) on a near-singular
+                    # f32 system — never let NaN poses replace a good
+                    # visual trajectory and be reported as METRIC.
+                    finite = (
+                        np.isfinite(sol.poses_r).all()
+                        and np.isfinite(sol.poses_t).all()
+                        and np.isfinite(sol.residual_rms)
+                        and sol.scale > 0
+                    )
+                    if finite:
+                        out_r, out_t = sol.poses_r, sol.poses_t
+                        metric_scale = sol.scale
+                        metric_poses = True
         except np.linalg.LinAlgError:
             pass
     return OdometryResult(

@@ -146,6 +146,8 @@ def solve_vi(
     w_vis_trans: float = 1.0,
     r_cam_imu: np.ndarray | None = None,
     estimate_bias: bool = False,
+    init_scale: float | None = None,
+    init_velocities: np.ndarray | None = None,
 ) -> ViSolution:
     """Refine a monocular trajectory into a metric one with IMU factors.
 
@@ -177,16 +179,27 @@ def solve_vi(
             "every keyframe interval needs IMU coverage for tight "
             "coupling (an increment has n_samples == 0)"
         )
-    from tpuflow.vo.imu import estimate_scale_and_gravity
-
+    if estimate_bias and any(inc.j_r_bg is None for inc in increments):
+        raise ValueError(
+            "estimate_bias needs increments preintegrated with "
+            "bias_jacobians=True (zero Jacobians would silently pin the "
+            "biases instead of estimating them)"
+        )
     poses_r = np.asarray(poses_r, np.float64)
     poses_t = np.asarray(poses_t, np.float64)
     r_ci = np.eye(3) if r_cam_imu is None else np.asarray(r_cam_imu, np.float64)
 
-    # Initialize from the linear alignment (scale + velocities).
-    s0, _g, v0, _rms = estimate_scale_and_gravity(
-        poses_r, poses_t, list(increments), r_cam_imu=r_cam_imu
-    )
+    # Initialize from the linear alignment (scale + velocities) — or
+    # from the caller's precomputed alignment (run_odometry_chunked
+    # already ran it for the gravity gate; no need to solve twice).
+    if init_scale is not None and init_velocities is not None:
+        s0, v0 = float(init_scale), np.asarray(init_velocities, np.float64)
+    else:
+        from tpuflow.vo.imu import estimate_scale_and_gravity
+
+        s0, _g, v0, _rms = estimate_scale_and_gravity(
+            poses_r, poses_t, list(increments), r_cam_imu=r_cam_imu
+        )
     s0 = max(float(s0), 1e-3)
     r_wb0 = np.transpose(poses_r, (0, 2, 1)) @ r_ci   # IMU-body -> world
     centers = -np.einsum("kij,ki->kj", poses_r, poses_t)
