@@ -144,8 +144,17 @@ PYRAMID_CONFIGS: dict[str, PyramidConfig] = {
     # whenever the coarse solve sees vertical motion) + relaxed-order
     # LK kernels (-17% kernel time; ~1e-6 reassociation rounding). Own
     # gated baseline like every non-parity config.
+    # The band ladder includes +-2 (6 candidate rows): on streams whose
+    # coarse-level interior |v| stays under 1 px for >99.5% of pixels
+    # (the select rule's b-1 headroom) the warp runs at 6/8 the narrow
+    # band's gather cost. +-1 is deliberately NOT in the ladder: its
+    # headroom predicate would be frac(|v| > 0), which every stream
+    # fails (LK texture noise is nonzero everywhere — measured 100% of
+    # interior pixels on the bench stream), so it could only ever be
+    # selected by weakening the headroom below 1 px, which would clamp
+    # real sub-pixel motion.
     "production": PyramidConfig(
-        levels=3, window_size=5, iterations=3, adaptive_v_bands=(3, 8),
+        levels=3, window_size=5, iterations=3, adaptive_v_bands=(2, 3, 8),
         relaxed_order=True,
         description="adaptive vertical band + relaxed-order kernels",
     ),
