@@ -250,6 +250,7 @@ def verify_sequence(
     backend: str = "jnp",
     ba_iterations: int = 10,
     verbose: bool = True,
+    pyramid_config: str = "default",
 ) -> Dict[str, Any]:
     """Render one sequence, run the full VO pipeline, score ATE/RPE."""
     from tpuflow.vo.pipeline import run_odometry, run_odometry_chunked
@@ -268,6 +269,7 @@ def verify_sequence(
             ba_iterations=ba_iterations,
             backend=backend,
             loop_closure=True,
+            pyramid_config=pyramid_config,
         )
     elif mode == "chunked_imu_tight":
         imu_t, imu_gyro, imu_accel, frame_times = _imu_swing(n_frames)
@@ -281,6 +283,7 @@ def verify_sequence(
             imu=(imu_t, imu_gyro, imu_accel),
             frame_times=frame_times,
             imu_tight=True,
+            pyramid_config=pyramid_config,
         )
     else:
         result = run_odometry(
@@ -289,6 +292,7 @@ def verify_sequence(
             init_depth=PLANE_DEPTH,
             ba_iterations=ba_iterations,
             backend=backend,
+            pyramid_config=pyramid_config,
         )
     # Keyframe stride is 1 here, so keyframe poses line up 1:1 with the
     # ground-truth frames.
@@ -324,6 +328,7 @@ def run_suite(
     verbose: bool = True,
     n_frames: int = N_FRAMES,
     ba_iterations: int = 10,
+    pyramid_config: str = "default",
 ) -> List[Dict[str, Any]]:
     names = sequence_names or list(SEQUENCES)
     unknown = [n for n in names if n not in SEQUENCES]
@@ -336,6 +341,7 @@ def run_suite(
         verify_sequence(
             n, n_frames=n_frames, backend=backend,
             ba_iterations=ba_iterations, verbose=verbose,
+            pyramid_config=pyramid_config,
         )
         for n in names
     ]
@@ -348,6 +354,7 @@ def compare_against_baseline(
     abs_floor: float = 1e-4,
     verbose: bool = True,
     backend: str | None = None,
+    pyramid_config: str | None = None,
 ) -> bool:
     """True = no regressions. Same 10% rule as the flow verifier, with an
     absolute floor: a metric change only flags if it ALSO exceeds
@@ -363,6 +370,18 @@ def compare_against_baseline(
         print(
             f"PROVENANCE MISMATCH: VO baseline captured with backend="
             f"{base_backend!r} but this run uses backend={backend!r}."
+        )
+        return False
+    # Same guard for the front-end flow config (a baseline captured with
+    # the default band must not silently gate a narrow-band run). An
+    # absent key means the baseline predates the knob — captured with
+    # "default".
+    base_cfg = doc.get("pyramid_config", "default")
+    if pyramid_config is not None and pyramid_config != base_cfg:
+        print(
+            f"PROVENANCE MISMATCH: VO baseline captured with "
+            f"pyramid_config={base_cfg!r} but this run uses "
+            f"pyramid_config={pyramid_config!r}."
         )
         return False
     baseline = doc.get("sequences", {})
@@ -414,6 +433,7 @@ def update_baseline(
     results: List[Dict[str, Any]],
     baseline_path: Path = VO_BASELINE,
     backend: str | None = None,
+    pyramid_config: str | None = None,
 ) -> None:
     data: Dict[str, Any] = {
         "version": "1.0",
@@ -422,6 +442,8 @@ def update_baseline(
     }
     if backend is not None:
         data["backend"] = backend
+    if pyramid_config is not None:
+        data["pyramid_config"] = pyramid_config
     baseline_path.parent.mkdir(parents=True, exist_ok=True)
     baseline_path.write_text(json.dumps(data, indent=2))
     print(f"VO baseline updated: {baseline_path}")
@@ -440,19 +462,27 @@ def main() -> None:
     parser.add_argument("--update-baseline", action="store_true")
     parser.add_argument("--regression-threshold", type=float, default=10.0)
     parser.add_argument("--baseline", type=str, default=str(VO_BASELINE))
+    parser.add_argument(
+        "--pyramid-config", type=str, default="default",
+        help="named flow config for the VO front-end (e.g. production); "
+        "recorded in / checked against the baseline's provenance",
+    )
     args = parser.parse_args()
 
     results = run_suite(
         args.sequence, backend=args.backend, n_frames=args.frames,
-        ba_iterations=args.ba_iterations,
+        ba_iterations=args.ba_iterations, pyramid_config=args.pyramid_config,
     )
 
     if args.update_baseline:
-        update_baseline(results, Path(args.baseline), backend=args.backend)
+        update_baseline(
+            results, Path(args.baseline), backend=args.backend,
+            pyramid_config=args.pyramid_config,
+        )
     if args.compare_baseline:
         ok = compare_against_baseline(
             results, Path(args.baseline), args.regression_threshold,
-            backend=args.backend,
+            backend=args.backend, pyramid_config=args.pyramid_config,
         )
         if not ok:
             print("\nVO regression detected! Review changes before committing.")
