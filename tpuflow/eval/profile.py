@@ -24,7 +24,9 @@ import numpy as np
 HBM_GBPS = 819.0
 
 
-def _marginal_seconds(make_body, shape, n1: int = 20, n2: int = 100) -> float:
+def _marginal_seconds(
+    make_body, shape, n1: int = 20, n2: int = 100, x0=None
+) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -35,8 +37,10 @@ def _marginal_seconds(make_body, shape, n1: int = 20, n2: int = 100) -> float:
 
         return jax.lax.fori_loop(0, n, body, jnp.zeros(shape, jnp.float32))[0, 9]
 
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.uniform(0, 255, shape), jnp.float32)
+    if x0 is None:
+        rng = np.random.default_rng(0)
+        x0 = rng.uniform(0, 255, shape)
+    x = jnp.asarray(x0, jnp.float32)
     for n in (n1, n2):
         float(loop(x, n))
         float(loop(x, n))
@@ -49,6 +53,23 @@ def _marginal_seconds(make_body, shape, n1: int = 20, n2: int = 100) -> float:
             best = min(best, time.perf_counter() - t0)
         ts[n] = best
     return (ts[n2] - ts[n1]) / (n2 - n1)
+
+
+def _natural_pair(h: int, w: int, dx: float = 2.0):
+    """Natural mountain-texture frame pair with 2 px horizontal motion —
+    the reference RTL-sim scenario (generate_test_frames_natural.py
+    --displacement-x 2) and the bench.py headline stream."""
+    from PIL import Image
+    from scipy.ndimage import shift as nd_shift
+
+    from tpuflow.eval.patterns import DEFAULT_TEXTURE
+
+    img = Image.open(DEFAULT_TEXTURE).convert("L").resize(
+        (w, h), Image.Resampling.BILINEAR
+    )
+    f0 = np.array(img, dtype=np.float32)
+    f1 = nd_shift(f0, (0.0, dx), order=1, mode="constant", cval=128.0)
+    return f0, f1.astype(np.float32)
 
 
 def profile_pipeline(
@@ -122,9 +143,29 @@ def profile_pipeline(
         ),
     ]
 
+    # Random-noise frames are the *adversarial* bound for adaptive-band
+    # configs: the coarse solve sees garbage vertical stats and selects
+    # the full band everywhere. Add a benign-stream total on the natural
+    # mountain-texture pair with 2 px horizontal motion (the bench.py /
+    # RTL-sim scenario, generate_test_frames_natural.py), where the
+    # ladder selects its narrow bands — the two rows bracket the
+    # config's serving range.
+    if cfg.adaptive_v_bands is not None:
+        nat_prev, nat_curr = _natural_pair(h, w)
+        stages.append(
+            (
+                "pyramidal total (benign)",
+                lambda x: lucas_kanade_pyramidal(
+                    x, nat_curr, config=cfg, backend="pallas"
+                )[0],
+                None,
+                nat_prev,
+            )
+        )
+
     rows = []
-    for name, fn, bytes_model in stages:
-        t = _marginal_seconds(fn, (h, w))
+    for name, fn, bytes_model, *rest in stages:
+        t = _marginal_seconds(fn, (h, w), x0=rest[0] if rest else None)
         row = {
             "stage": name,
             "ms": t * 1e3,
