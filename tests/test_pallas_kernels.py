@@ -225,6 +225,66 @@ class TestBandedWarp:
             )
         np.testing.assert_allclose(got, img, atol=1e-4)
 
+    def test_packed_u8_matches_exact_on_integer_frames(self, rng):
+        """packed_u8 (one i32 corner-pair gather per candidate row, 4x
+        fewer hardware gathers) vs the exact kernel on an 8-bit-integer-
+        valued frame: equal to FMA-contraction rounding. On real TPU the
+        two compile bit-identically (verified on v5e at 1080p — maxdiff
+        exactly 0.0 at bands 8/3/2); interpret mode's XLA:CPU fuses the
+        corner lerp differently per program, hence the 1-ulp tolerance
+        here rather than array_equal."""
+        from tpuflow.kernels import pallas_warp
+
+        img = rng.integers(0, 256, (48, 200)).astype(np.float32)
+        u = rng.uniform(-10, 10, (48, 200)).astype(np.float32)
+        v = rng.uniform(-10, 10, (48, 200)).astype(np.float32)
+        for mdv in (8, 3, 2):
+            with pltpu.force_tpu_interpret_mode():
+                a = pallas_warp.warp_image_banded(
+                    jnp.asarray(img), jnp.asarray(u), jnp.asarray(v),
+                    max_disp=8, clamp_flow=True, max_disp_v=mdv,
+                )
+                b = pallas_warp.warp_image_banded(
+                    jnp.asarray(img), jnp.asarray(u), jnp.asarray(v),
+                    max_disp=8, clamp_flow=True, max_disp_v=mdv,
+                    packed_u8=True,
+                )
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=3e-7, atol=0
+            )
+
+    def test_packed_u8_requires_clamp_flow(self, rng):
+        from tpuflow.kernels import pallas_warp
+
+        img, u, v = self._pair(rng, h=16, w=128)
+        with pytest.raises(AssertionError, match="clamp_flow"):
+            pallas_warp.warp_image_banded(
+                jnp.asarray(img), jnp.asarray(u), jnp.asarray(v),
+                packed_u8=True,
+            )
+
+    def test_packed_u8_batched_matches_per_frame(self, rng):
+        from tpuflow.kernels import pallas_warp
+
+        imgs = rng.integers(0, 256, (3, 24, 128)).astype(np.float32)
+        us = rng.uniform(-6, 6, (3, 24, 128)).astype(np.float32)
+        vs = rng.uniform(-6, 6, (3, 24, 128)).astype(np.float32)
+        with pltpu.force_tpu_interpret_mode():
+            batched = np.asarray(
+                pallas_warp.warp_image_banded(
+                    jnp.asarray(imgs), jnp.asarray(us), jnp.asarray(vs),
+                    clamp_flow=True, packed_u8=True,
+                )
+            )
+            for i in range(3):
+                single = np.asarray(
+                    pallas_warp.warp_image_banded(
+                        jnp.asarray(imgs[i]), jnp.asarray(us[i]),
+                        jnp.asarray(vs[i]), clamp_flow=True, packed_u8=True,
+                    )
+                )
+                np.testing.assert_array_equal(batched[i], single)
+
 
 class TestBatching:
     """Native batch support + custom_vmap composition."""
@@ -495,3 +555,32 @@ def test_relaxed_order_window_sums_close(rng):
         u0, v0 = lucas_kanade_single_scale(prev, prev, backend="pallas",
                                            relaxed_order=True)
     assert np.all(np.asarray(u0) == 0) and np.all(np.asarray(v0) == 0)
+
+
+def test_pyramidal_production_config_composes(frame_pair):
+    """The production config composes all its relaxations — band ladder,
+    relaxed-order sums, packed-u8 finest-level warp — and stays within
+    the verifier's 10% envelope of the default fast path on the 8-bit
+    bench-class pair. (The TPU-captured production baseline is the
+    authoritative gate; this is the CPU CI smoke that the composition
+    itself is wired and sane.)"""
+    from tpuflow.core.config import PYRAMID_CONFIGS
+    from tpuflow.flow import lucas_kanade_pyramidal
+
+    cfg = PYRAMID_CONFIGS["production"]
+    assert cfg.warp_packed_u8
+    prev, curr = (jnp.asarray(f) for f in frame_pair)  # 2 px horizontal
+    with pltpu.force_tpu_interpret_mode():
+        u_d, v_d = lucas_kanade_pyramidal(
+            prev, curr, config=PYRAMID_CONFIGS["default"], backend="pallas"
+        )
+        u_p, v_p = lucas_kanade_pyramidal(
+            prev, curr, config=cfg, backend="pallas"
+        )
+    s = np.s_[10:-10, 10:-10]  # translation-category test region
+    mae_u_d = np.abs(np.asarray(u_d)[s] - 2.0).mean()
+    mae_u_p = np.abs(np.asarray(u_p)[s] - 2.0).mean()
+    mae_v_d = np.abs(np.asarray(v_d)[s]).mean()
+    mae_v_p = np.abs(np.asarray(v_p)[s]).mean()
+    assert mae_u_p <= mae_u_d * 1.10
+    assert mae_v_p <= mae_v_d * 1.10

@@ -73,6 +73,18 @@ class PyramidConfig:
     # narrow_vertical does. The RTL's own window accumulator sums in
     # adder trees too (rtl/unopt/window_accumulator.sv:150-167).
     relaxed_order: bool = False
+    # Packed-u8 finest-level warp (backend="pallas" only): pack the four
+    # bilinear corner bytes of a candidate-row pair into one i32 word so
+    # the banded warp's gather loop — the measured frame-time hot spot,
+    # gather-issue-bound at ~3 cycles/vreg-gather — runs ONE hardware
+    # gather per candidate row instead of four. Measured at 1080p on
+    # v5e: 0.722 -> 0.257 ms full band, and BIT-IDENTICAL to the exact
+    # kernel on TPU. Correct only under the 8-bit input contract: frame
+    # values must be integers in [0, 255] (the finest pyramid level is
+    # the raw frame, so any u8-sourced stream qualifies; coarse levels
+    # are blurred/resampled floats and always use the exact kernel).
+    # Callers feeding non-integer float frames must leave this off.
+    warp_packed_u8: bool = False
     description: str = ""
 
     def __post_init__(self):
@@ -155,7 +167,8 @@ PYRAMID_CONFIGS: dict[str, PyramidConfig] = {
     # real sub-pixel motion.
     "production": PyramidConfig(
         levels=3, window_size=5, iterations=3, adaptive_v_bands=(2, 3, 8),
-        relaxed_order=True,
-        description="adaptive vertical band + relaxed-order kernels",
+        relaxed_order=True, warp_packed_u8=True,
+        description="adaptive vertical band + relaxed-order kernels + "
+        "packed-u8 finest-level warp (8-bit input contract)",
     ),
 }

@@ -115,6 +115,21 @@ def profile_pipeline(
             lambda x: ops.gaussian_filter(x, 2.0),
             8 * px,
         ),
+    ]
+    if cfg.warp_packed_u8:
+        # The packed corner-pair gather variant the finest level runs
+        # under this config (bit-identical on integer frames; the noise
+        # image's values don't affect the timing).
+        stages.insert(2, (
+            "banded warp (packed u8)",
+            lambda x: pallas_warp.warp_image_banded(
+                jnp.floor(curr), u0, x * 0 + u0, max_disp=cfg.max_disp,
+                max_disp_v=cfg.max_disp_v_effective, clamp_flow=True,
+                packed_u8=True,
+            ),
+            16 * px,
+        ))
+    stages += [
         (
             "resize 2x down (MXU)",
             lambda x: jnp.pad(

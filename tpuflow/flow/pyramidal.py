@@ -27,6 +27,7 @@ def _refine_level(
     cfg: PyramidConfig,
     backend: Backend,
     rtl_clamp: bool = False,
+    finest: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Iterative warp -> residual-LK -> accumulate at one pyramid level.
 
@@ -54,6 +55,16 @@ def _refine_level(
             warped = pallas_warp.warp_image_banded(
                 img_curr, u, v, max_disp=cfg.max_disp, clamp_flow=True,
                 max_disp_v=cfg.max_disp_v_effective,
+                # Finest level only: that level IS the raw frame, whose
+                # values are 0..255 integers for 8-bit sources (the
+                # config's documented input contract) — coarse levels
+                # are blurred floats and use the exact kernel. (Integer-
+                # QUANTIZING the coarse levels to extend the packed warp
+                # everywhere was measured and rejected: +23%/+33%
+                # u/v-MAE on translate_medium for ~12% composed speed —
+                # the blurred coarse levels' gradients are too small to
+                # survive half-gray-level rounding.)
+                packed_u8=cfg.warp_packed_u8 and finest,
             )
             u, v, sdu, sdv = pallas_lk.lucas_kanade_refine(
                 img_prev,
@@ -159,6 +170,7 @@ def _refine_level_adaptive(
     cfg: PyramidConfig,
     backend: Backend,
     rtl_clamp: bool = False,
+    finest: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """``_refine_level`` with the vertical band picked at the level
     boundary: one precompiled variant per candidate band, dispatched by
@@ -177,7 +189,7 @@ def _refine_level_adaptive(
     def variant(b: int):
         vcfg = dataclasses.replace(cfg, max_disp_v=b, adaptive_v_bands=None)
         return lambda u, v: _refine_level(
-            img_prev, img_curr, u, v, vcfg, backend, rtl_clamp
+            img_prev, img_curr, u, v, vcfg, backend, rtl_clamp, finest
         )
 
     return jax.lax.switch(idx, [variant(b) for b in bands], flow_u, flow_v)
@@ -259,13 +271,16 @@ def lucas_kanade_pyramidal_from_pyramids(
         img_curr = pyr_curr[level]
         if level > 0:
             flow_u, flow_v = jnp_ref.upsample_flow(flow_u, flow_v, img_prev.shape)
+        finest = level == cfg.levels - 1
         if adaptive and level > 0:
             flow_u, flow_v = _refine_level_adaptive(
-                img_prev, img_curr, flow_u, flow_v, cfg, backend, rtl_clamp
+                img_prev, img_curr, flow_u, flow_v, cfg, backend, rtl_clamp,
+                finest,
             )
         else:
             flow_u, flow_v = _refine_level(
-                img_prev, img_curr, flow_u, flow_v, cfg, backend, rtl_clamp
+                img_prev, img_curr, flow_u, flow_v, cfg, backend, rtl_clamp,
+                finest,
             )
         if return_levels:
             levels.append((flow_u, flow_v))

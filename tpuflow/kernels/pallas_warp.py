@@ -49,7 +49,7 @@ def _round_up(x: int, m: int) -> int:
 
 def _warp_block(band, u, v, r0, *, n_rows: int, height: int, width: int,
                 wp: int, dpad: int, max_disp: int, max_disp_v: int,
-                clamp_flow: bool):
+                clamp_flow: bool, packed_u8: bool = False, x1_scr=None):
     """Core banded-warp math on one VMEM band slab.
 
     ``band``: (n_rows + 2*dpad, wp + 256) slab whose local row d holds
@@ -109,8 +109,9 @@ def _warp_block(band, u, v, r0, *, n_rows: int, height: int, width: int,
     base = my_block * 128
     idx_a0 = rs(jnp.clip(x0 - base + shift, 0, 127))
     idx_b0 = rs(jnp.clip(x0 - base - shift, 0, 127))
-    idx_a1 = rs(jnp.clip(x1 - base + shift, 0, 127))
-    idx_b1 = rs(jnp.clip(x1 - base - shift, 0, 127))
+    if not packed_u8:
+        idx_a1 = rs(jnp.clip(x1 - base + shift, 0, 127))
+        idx_b1 = rs(jnp.clip(x1 - base - shift, 0, 127))
     # Gather-space lane mask (lane < 64 <=> original col % 128 < 64).
     # Generated directly in gather space: Mosaic cannot reshape an i1
     # vector, and widening to f32 for arithmetic masking costs 3 VPU ops
@@ -126,6 +127,106 @@ def _warp_block(band, u, v, r0, *, n_rows: int, height: int, width: int,
     fy_r = rs(fy)
     fyc_r = 1.0 - fy_r
     dy_r = rs(dy_local)
+
+    if packed_u8:
+        # Packed-u8 fast path: the image is integer-valued in [0, 255]
+        # (an 8-bit source — the finest pyramid level IS the raw frame),
+        # so all four bilinear corners of a candidate-row PAIR — rows
+        # (r, r+1) x columns (x0, x0+1) — fit exactly in one i32 word.
+        # One 32-bit hardware gather then replaces the exact path's four
+        # (two corners x two band copies... see loop below): the gather
+        # count per candidate row drops 4x, and the kernel is
+        # gather-issue-bound (~3 cycles/vreg-gather, DESIGN.md §3), so
+        # this attacks the measured hot cost directly. Unpacking is
+        # straight-line VPU shifts/masks. Bit-identical to the exact
+        # path for in-band flow on integer-valued images: the unpacked
+        # corners are exact integers and the f32 lerp expressions are
+        # unchanged. dynamic_gather requires index/result bitwidths to
+        # match (bf16 gathers are unreachable), which is exactly why the
+        # packing target is i32.
+        # Mosaic hazard (measured on real v5e, fine in interpret mode):
+        # int-converting a lane-misaligned view — `convert(slice(x,
+        # lane_offset=1))` in either order — reads 0 in lanes j%8 in
+        # 2..7. The by-1-lane-shifted corner view is therefore
+        # MATERIALIZED through a VMEM scratch roundtrip first (verified
+        # correct), so every convert below sees a plainly-laid-out
+        # operand; the remaining slices are row shifts or lane-aligned
+        # (both verified) plus the same 128+-shift copy slices the exact
+        # path has always used on gather operands. Mosaic also has no
+        # direct f32<->u32 cast, hence the i32 hop (values are 0..255,
+        # so the bit patterns agree).
+        wb = wp + 256
+        assert x1_scr is not None, "packed_u8 needs the x1 scratch buffer"
+        x1_scr[...] = jax.lax.slice(band, (0, 1), (band_h, wb))
+
+        def u32c(a):
+            return a.astype(jnp.int32).astype(jnp.uint32)
+
+        bu = u32c(band)
+        su = u32c(x1_scr[...])
+        p = (
+            (jax.lax.slice(bu, (0, 0), (band_h - 1, wb - 1)) << jnp.uint32(24))
+            | (jax.lax.slice(su, (0, 0), (band_h - 1, wb - 1)) << jnp.uint32(16))
+            | (jax.lax.slice(bu, (1, 0), (band_h, wb - 1)) << jnp.uint32(8))
+            | jax.lax.slice(su, (1, 0), (band_h, wb - 1))
+        )
+        packed_a = jax.lax.slice(
+            p, (0, 128 - shift), (band_h - 1, 128 - shift + wp)
+        ).reshape((band_h - 1) * nb, 128)
+        packed_b = jax.lax.slice(
+            p, (0, 128 + shift), (band_h - 1, 128 + shift + wp)
+        ).reshape((band_h - 1) * nb, 128)
+
+        # Paired candidate loop: packed row d carries candidates d (high
+        # half) and d+1 (low half); the select logic is the exact loop's,
+        # applied to both candidates of the pair (masks are disjoint, so
+        # application order within the pair is value-irrelevant).
+        up_plane = jnp.zeros((th * nb, 128), jnp.float32)
+        low_plane = jnp.zeros((th * nb, 128), jnp.float32)
+        m_prev = None
+        for d in range(dpad - max_disp_v, dpad + max_disp_v + 1, 2):
+            rows_a = jax.lax.slice(
+                packed_a, (d * nb, 0), ((d + th) * nb, 128)
+            )
+            rows_b = jax.lax.slice(
+                packed_b, (d * nb, 0), ((d + th) * nb, 128)
+            )
+            w32 = jnp.where(
+                lower_b,
+                jnp.take_along_axis(
+                    rows_a, idx_a0, axis=1, mode="promise_in_bounds"
+                ),
+                jnp.take_along_axis(
+                    rows_b, idx_b0, axis=1, mode="promise_in_bounds"
+                ),
+            )
+            def byte(shift_bits: int) -> jax.Array:
+                b8 = (w32 >> jnp.uint32(shift_bits)) & jnp.uint32(0xFF)
+                return b8.astype(jnp.int32).astype(jnp.float32)
+
+            c00 = byte(24)
+            c01 = byte(16)
+            c10 = byte(8)
+            c11 = byte(0)
+            h0 = c00 * fxc_r + c01 * fx_r
+            h1 = c10 * fxc_r + c11 * fx_r
+            m0 = dy_r == d
+            m1 = dy_r == (d + 1)
+            up_plane = jnp.where(m0, h0, up_plane)
+            up_plane = jnp.where(m1, h1, up_plane)
+            if m_prev is not None:
+                low_plane = jnp.where(m_prev, h0, low_plane)
+            low_plane = jnp.where(m0, h1, low_plane)
+            m_prev = m1
+
+        out = (up_plane * fyc_r + low_plane * fy_r).reshape(th, wp)
+        inside = (
+            (xf >= 0.0)
+            & (xf <= float(width - 1))
+            & (yf >= 0.0)
+            & (yf <= float(height - 1))
+        )
+        return jnp.where(inside, out, 0.0)
 
     band_a = jax.lax.slice(
         band, (0, 128 - shift), (band_h, 128 - shift + wp)
@@ -190,10 +291,10 @@ def _warp_block(band, u, v, r0, *, n_rows: int, height: int, width: int,
     return jnp.where(inside, out, 0.0)
 
 
-def _warp_kernel(img_hbm, u_ref, v_ref, out_ref, band_sl, sem,
-                 *, n_tiles: int, tile_rows: int, height: int, width: int,
+def _warp_kernel(img_hbm, u_ref, v_ref, out_ref, band_sl, sem, *extra_scr,
+                 n_tiles: int, tile_rows: int, height: int, width: int,
                  wp: int, dpad: int, max_disp: int, max_disp_v: int,
-                 clamp_flow: bool):
+                 clamp_flow: bool, packed_u8: bool):
     th = tile_rows
     s = pl.program_id(0)
     b = s // n_tiles
@@ -210,14 +311,17 @@ def _warp_kernel(img_hbm, u_ref, v_ref, out_ref, band_sl, sem,
     out = _warp_block(
         band_sl[:], u_ref[0], v_ref[0], r0, n_rows=th, height=height,
         width=width, wp=wp, dpad=dpad, max_disp=max_disp,
-        max_disp_v=max_disp_v, clamp_flow=clamp_flow,
+        max_disp_v=max_disp_v, clamp_flow=clamp_flow, packed_u8=packed_u8,
+        x1_scr=extra_scr[0] if extra_scr else None,
     )
     out_ref[0] = jax.lax.slice(out, (0, 0), (th, width))
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_disp", "tile_rows", "clamp_flow", "max_disp_v"),
+    static_argnames=(
+        "max_disp", "tile_rows", "clamp_flow", "max_disp_v", "packed_u8"
+    ),
 )
 def _warp_batched(
     image: jax.Array,
@@ -227,6 +331,7 @@ def _warp_batched(
     tile_rows: int | None,
     clamp_flow: bool = False,
     max_disp_v: int | None = None,
+    packed_u8: bool = False,
 ) -> jax.Array:
     """(B, H, W) batched banded warp."""
     if max_disp_v is None:
@@ -265,6 +370,7 @@ def _warp_batched(
         max_disp=max_disp,
         max_disp_v=max_disp_v,
         clamp_flow=clamp_flow,
+        packed_u8=packed_u8,
     )
     flow_spec = pl.BlockSpec(
         (1, th, wp), lambda s: (s // n_tiles, s % n_tiles, 0),
@@ -289,7 +395,12 @@ def _warp_batched(
         scratch_shapes=[
             pltpu.VMEM((th + 2 * dpad, wp + 256), image.dtype),
             pltpu.SemaphoreType.DMA(()),
-        ],
+        ] + (
+            # Materialization buffer for the by-1-lane-shifted corner
+            # view (see _warp_block's Mosaic-hazard note).
+            [pltpu.VMEM((th + 2 * dpad, wp + 255), image.dtype)]
+            if packed_u8 else []
+        ),
         cost_estimate=pl.CostEstimate(
             flops=int((2 * max_disp_v + 2) * 16 * bsz * h * w),
             bytes_accessed=int(16 * bsz * h * w),
@@ -305,12 +416,13 @@ def _make_warp(
     tile_rows: int | None,
     clamp_flow: bool,
     max_disp_v: int | None,
+    packed_u8: bool,
 ):
     @jax.custom_batching.custom_vmap
     def warp(image, flow_u, flow_v):
         return _warp_batched(
             image[None], flow_u[None], flow_v[None], max_disp, tile_rows,
-            clamp_flow, max_disp_v,
+            clamp_flow, max_disp_v, packed_u8,
         )[0]
 
     @warp.def_vmap
@@ -322,7 +434,8 @@ def _make_warp(
             args.append(a)
         return (
             _warp_batched(
-                *args, max_disp, tile_rows, clamp_flow, max_disp_v
+                *args, max_disp, tile_rows, clamp_flow, max_disp_v,
+                packed_u8,
             ),
             True,
         )
@@ -338,6 +451,7 @@ def warp_image_banded(
     tile_rows: int | None = None,
     clamp_flow: bool = False,
     max_disp_v: int | None = None,
+    packed_u8: bool = False,
 ) -> jax.Array:
     """Backward bilinear warp, out(x,y) = image(x+u, y+v), OOB -> 0.
 
@@ -352,11 +466,16 @@ def warp_image_banded(
     """
     assert max_disp <= 31, "banded warp supports max_disp <= 31"
     assert max_disp_v is None or max_disp_v <= 31
+    # packed_u8 (4x fewer hardware gathers in the candidate loop, see
+    # _warp_block) is exact ONLY for images whose values are integers in
+    # [0, 255] — 8-bit sources, e.g. the finest pyramid level. It also
+    # assumes the in-band flow contract, so require the in-kernel clamp.
+    assert not packed_u8 or clamp_flow, "packed_u8 requires clamp_flow"
     if image.ndim == 3:
         return _warp_batched(
             image, flow_u, flow_v, max_disp, tile_rows, clamp_flow,
-            max_disp_v,
+            max_disp_v, packed_u8,
         )
-    return _make_warp(max_disp, tile_rows, clamp_flow, max_disp_v)(
+    return _make_warp(max_disp, tile_rows, clamp_flow, max_disp_v, packed_u8)(
         image, flow_u, flow_v
     )

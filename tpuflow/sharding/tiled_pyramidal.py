@@ -59,19 +59,27 @@ def _warp_tile(img_ext, u, v, halo, gy0, gx0, gh, gw):
 
 
 def _warp_tile_pallas(curr_ext, u, v, halo, gy0, gx0, gh, gw, max_disp,
-                      max_disp_v=None):
+                      max_disp_v=None, packed_u8=False):
     """Banded Pallas warp of a halo-extended tile (the fast-path twin of
     :func:`_warp_tile`): flow is zero-padded out to the extended shape,
     the hardware-gather kernel warps the whole extended tile (its local
     OOB mask never fires for center pixels — |flow| <= max_disp < halo),
-    and the center crop gets the exact global-border zero cut-off."""
+    and the center crop gets the exact global-border zero cut-off.
+
+    ``packed_u8`` (PyramidConfig.warp_packed_u8): the finest-level tile
+    is raw-frame data (integer-valued for 8-bit sources; halo/zero
+    padding stays integer), so the packed corner-pair gather kernel is
+    bit-identical here like in the single-device driver. The caller
+    pre-clips flow to the band, so the in-kernel clamp the packed path
+    requires is a no-op re-clip."""
     from tpuflow.kernels import pallas_warp
 
     h, w = u.shape
     u_e = jnp.pad(u, halo)
     v_e = jnp.pad(v, halo)
     out_ext = pallas_warp.warp_image_banded(
-        curr_ext, u_e, v_e, max_disp=max_disp, max_disp_v=max_disp_v
+        curr_ext, u_e, v_e, max_disp=max_disp, max_disp_v=max_disp_v,
+        clamp_flow=packed_u8, packed_u8=packed_u8,
     )
     val = lax.dynamic_slice(out_ext, (halo, halo), (h, w))
     yy = lax.broadcasted_iota(jnp.float32, (h, w), 0)
@@ -167,6 +175,7 @@ def tiled_lucas_kanade_pyramidal(
                 warped = _warp_tile_pallas(
                     curr_ext, u, v, warp_halo, gy0, gx0, gh, gw,
                     cfg.max_disp, cfg.max_disp_v_effective,
+                    packed_u8=cfg.warp_packed_u8,
                 )
                 du, dv = _local_lk_pallas(
                     prev_t, warped, gy0, gx0, gh, gw, ty, tx,
