@@ -358,22 +358,125 @@ def run_suite(
 # trajectory score stayed excellent (ate_rmse 0.002-0.013 on >=0.1-span
 # sequences both times, most metrics IMPROVING host-to-host). A 10%
 # relative gate is therefore unenforceable on CPU; the CPU gate uses
-# this threshold as a breakage detector and the absolute sanity bounds
-# (tests/test_vo_verifier.py) as the accuracy ruler. The TPU fast-path
-# baseline (vo_pallas_baseline.json, tpu_fastpath_check.sh) keeps the
-# tight 10% gate — the physical chip is the same every run, so its
-# numerics ARE reproducible.
+# this threshold as a breakage detector and ABS_BOUNDS as the primary
+# accuracy ruler (check_absolute_bounds, enforced on every
+# --compare-baseline run). The TPU fast-path baseline
+# (vo_pallas_baseline.json, tpu_fastpath_check.sh) keeps the tight 10%
+# gate — the physical chip is the same every run, so its numerics ARE
+# reproducible.
 CPU_CROSS_HOST_THRESHOLD = 60.0
+
+# Absolute trajectory-accuracy bounds: the host-stable primary gate.
+# Every sequence spans >= ~0.1 world units, so ATE-RMSE must stay well
+# under that for the pipeline to be "working" in any meaningful sense;
+# these bounds hold with huge margin on every platform measured
+# (CPU x2 hosts, TPU-jnp with HIGHEST-pinned GN, TPU-pallas) while the
+# relative gate wobbles with codegen. square_loop carries more interior
+# drift than the straight sequences (chunk-fused trajectory); swing_imu
+# is scored METRIC (no scale gauge to absorb error) and its absolute
+# ATE is vision-limited on the planar scene (see SEQUENCE_MODES note).
+ABS_ATE_BOUNDS = {"square_loop": 0.05, "swing_imu": 0.12}
+ABS_ATE_DEFAULT = 0.03
+ABS_RPE_ROT_DEG = 1.0
+MIN_TRACK_COUNT = 100
+
+# Cross-PLATFORM (CPU baseline vs TPU-jnp run, or vice versa) relative
+# threshold. With the GN/BA/VI matmuls pinned to HIGHEST precision
+# (vo/_precision.py) the TPU-jnp trajectories track the CPU baseline
+# to 0.1-2.3% on the incremental sequences (measured round 4 on this
+# v5e host; before the pinning, dolly_z ate_rmse read +407% — an
+# unbounded failure no threshold could honestly cover). The CHUNKED
+# sequences (square_loop, swing_imu) still spread up to ~35% relative:
+# the dense-flow front end itself differs across platforms at the
+# sub-percent level (within its own 10% parity gate) and the chunk
+# anchoring composition amplifies it — chaotically, like the
+# cross-host CPU spread, while absolute scores stay excellent.
+CROSS_PLATFORM_THRESHOLD = 60.0
+
+# Per-metric absolute floors for cross-provenance (cross-host or
+# cross-platform) comparison: a change only flags if it exceeds the
+# floor absolutely AND the threshold relatively. Sized at ~1/4 of the
+# ABS bounds' health margins (trajectory spans are >= ~0.1 world
+# units; rot health bound is 1 deg): measured round-4 example that
+# motivates the rot floor — swing_imu rpe_rot 0.035 (CPU) vs 0.197 deg
+# (TPU-jnp), +463% relative on an absolutely-negligible 0.16 deg move
+# of a VI-refined rotation. Same-provenance comparison keeps the tight
+# 1e-4 dust floor.
+CROSS_METRIC_FLOORS = {
+    "ate_rmse": 0.005,
+    "rpe_trans": 0.005,
+    "rpe_rot_deg": 0.25,
+}
+
+
+def default_threshold(
+    backend: str, platform: str, baseline_path: Path = VO_BASELINE
+) -> tuple[float, dict | float]:
+    """(threshold, abs_floor) for (backend, actual platform, baseline).
+
+    - pallas baseline (TPU fast path): bit-stable on the physical chip
+      -> tight 10%, dust floor.
+    - jnp, same platform as the baseline: CPU_CROSS_HOST_THRESHOLD
+      (host-to-host XLA:CPU codegen spread; see its note) with the
+      cross-provenance metric floors.
+    - jnp, DIFFERENT platform than the baseline (the misfire mode round
+      3 shipped): CROSS_PLATFORM_THRESHOLD + metric floors, with
+      absolute bounds doing the real gating either way.
+    """
+    if backend == "pallas":
+        return 10.0, 1e-4
+    return CPU_CROSS_HOST_THRESHOLD, CROSS_METRIC_FLOORS
+
+
+def check_absolute_bounds(
+    results: List[Dict[str, Any]], verbose: bool = True
+) -> bool:
+    """Primary accuracy gate: host/platform-independent absolute bounds.
+
+    Relative baseline comparison (below) detects *drift*; this detects
+    *breakage* — and unlike the relative gate it is enforceable on any
+    platform without a matching-provenance baseline.
+    """
+    ok = True
+    for r in results:
+        name = r["sequence"]
+        m = r["metrics"]
+        bound = ABS_ATE_BOUNDS.get(name, ABS_ATE_DEFAULT)
+        if not m["ate_rmse"] < bound:
+            ok = False
+            print(
+                f"  ABSOLUTE BOUND {name}: ate_rmse {m['ate_rmse']:.5f} "
+                f">= {bound}"
+            )
+        if not m["rpe_rot_deg"] < ABS_RPE_ROT_DEG:
+            ok = False
+            print(
+                f"  ABSOLUTE BOUND {name}: rpe_rot {m['rpe_rot_deg']:.4f} "
+                f">= {ABS_RPE_ROT_DEG} deg"
+            )
+        if not r["track_count"] > MIN_TRACK_COUNT:
+            ok = False
+            print(
+                f"  ABSOLUTE BOUND {name}: track_count {r['track_count']} "
+                f"<= {MIN_TRACK_COUNT}"
+            )
+    if verbose:
+        print(
+            "VO absolute-bounds check: "
+            + ("all sequences within bounds" if ok else "FAILURES detected")
+        )
+    return ok
 
 
 def compare_against_baseline(
     results: List[Dict[str, Any]],
     baseline_path: Path = VO_BASELINE,
     threshold_percent: float = 10.0,
-    abs_floor: float = 1e-4,
+    abs_floor: float | Dict[str, float] = 1e-4,
     verbose: bool = True,
     backend: str | None = None,
     pyramid_config: str | None = None,
+    platform: str | None = None,
 ) -> bool:
     """True = no regressions. Same 10% rule as the flow verifier, with an
     absolute floor: a metric change only flags if it ALSO exceeds
@@ -382,7 +485,14 @@ def compare_against_baseline(
     dust the way the flow suite's exact-zero no_motion rows can.
 
     On the jnp backend across DIFFERENT host CPUs, pass
-    ``threshold_percent=CPU_CROSS_HOST_THRESHOLD`` (see its note)."""
+    ``threshold_percent=CPU_CROSS_HOST_THRESHOLD`` (see its note).
+
+    ``platform``: the ACTUAL execution platform of this run
+    (``jax.default_backend()``), checked against the platform recorded
+    in the baseline. The jnp backend runs on whatever platform JAX
+    picked — on a TPU host that is the TPU, whose f32 numerics differ
+    from the CPU's — so the flag-level backend check alone cannot catch
+    cross-provenance comparison (measured round-3 failure mode)."""
     if not baseline_path.exists():
         print(f"No VO baseline at {baseline_path}; skipping regression check.")
         return True
@@ -394,6 +504,19 @@ def compare_against_baseline(
             f"{base_backend!r} but this run uses backend={backend!r}."
         )
         return False
+    base_platform = doc.get("platform")
+    if (
+        platform is not None
+        and base_platform is not None
+        and platform != base_platform
+    ):
+        print(
+            f"PROVENANCE NOTE: VO baseline captured on platform="
+            f"{base_platform!r}; this run executes on {platform!r}. "
+            f"Relative comparison is cross-platform (see "
+            f"CROSS_PLATFORM_THRESHOLD); absolute bounds are the "
+            f"primary gate."
+        )
     # Same guard for the front-end flow config (a baseline captured with
     # the default band must not silently gate a narrow-band run). An
     # absent key means the baseline predates the knob — captured with
@@ -430,9 +553,14 @@ def compare_against_baseline(
         for metric in GATED_METRICS:
             curr = result["metrics"][metric]
             base = baseline[name]["metrics"][metric]
-            if abs(curr - base) <= abs_floor:
+            floor = (
+                abs_floor.get(metric, 1e-4)
+                if isinstance(abs_floor, dict)
+                else abs_floor
+            )
+            if abs(curr - base) <= floor:
                 continue
-            if base <= abs_floor:
+            if base <= floor:
                 all_passed = False
                 print(f"  REGRESSION {name}: {metric} {curr:.5f} (baseline ~0)")
                 continue
@@ -456,6 +584,7 @@ def update_baseline(
     baseline_path: Path = VO_BASELINE,
     backend: str | None = None,
     pyramid_config: str | None = None,
+    platform: str | None = None,
 ) -> None:
     data: Dict[str, Any] = {
         "version": "1.0",
@@ -466,6 +595,8 @@ def update_baseline(
         data["backend"] = backend
     if pyramid_config is not None:
         data["pyramid_config"] = pyramid_config
+    if platform is not None:
+        data["platform"] = platform
     baseline_path.parent.mkdir(parents=True, exist_ok=True)
     baseline_path.write_text(json.dumps(data, indent=2))
     print(f"VO baseline updated: {baseline_path}")
@@ -496,6 +627,10 @@ def main() -> None:
     )
     args = parser.parse_args()
 
+    import jax  # deferred: platform resolution must not precede CLI parse
+
+    platform = jax.default_backend()
+
     results = run_suite(
         args.sequence, backend=args.backend, n_frames=args.frames,
         ba_iterations=args.ba_iterations, pyramid_config=args.pyramid_config,
@@ -504,19 +639,24 @@ def main() -> None:
     if args.update_baseline:
         update_baseline(
             results, Path(args.baseline), backend=args.backend,
-            pyramid_config=args.pyramid_config,
+            pyramid_config=args.pyramid_config, platform=platform,
         )
     if args.compare_baseline:
+        # Primary gate: platform-independent absolute accuracy bounds.
+        bounds_ok = check_absolute_bounds(results)
         threshold = args.regression_threshold
         if threshold is None:
-            threshold = (
-                10.0 if args.backend == "pallas" else CPU_CROSS_HOST_THRESHOLD
+            threshold, floor = default_threshold(
+                args.backend, platform, Path(args.baseline)
             )
+        else:
+            floor = 1e-4
         ok = compare_against_baseline(
-            results, Path(args.baseline), threshold,
+            results, Path(args.baseline), threshold, abs_floor=floor,
             backend=args.backend, pyramid_config=args.pyramid_config,
+            platform=platform,
         )
-        if not ok:
+        if not (ok and bounds_ok):
             print("\nVO regression detected! Review changes before committing.")
             sys.exit(1)
 

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpuflow.vo import se3
-
+from tpuflow.vo._precision import pin_matmul_precision
 
 
 class BAProblem(NamedTuple):
@@ -67,7 +67,12 @@ def reprojection_errors(p: BAProblem) -> jax.Array:
                        p.intrinsics)
         return jnp.linalg.norm(pred - uv)
 
-    e = jax.vmap(one)(p.obs_cam, p.obs_lm, p.obs_uv)
+    # Exact f32: TPU default matmul precision demotes to bf16 MXU passes,
+    # which perturbs the GN iteration path enough to break cross-platform
+    # baseline comparison (TPU-jnp vs CPU-captured vo_baseline.json). The
+    # matrices here are tiny; HIGHEST costs nothing.
+    with jax.default_matmul_precision("highest"):
+        e = jax.vmap(one)(p.obs_cam, p.obs_lm, p.obs_uv)
     return jnp.where(p.obs_valid, e, 0.0)
 
 
@@ -111,6 +116,7 @@ def _inv3(m):
 @functools.partial(
     jax.jit, static_argnames=("axis_name", "num_cams", "num_lms", "fixed_cams")
 )
+@pin_matmul_precision
 def gauss_newton_step(
     p: BAProblem,
     damping: float = 1e-4,

@@ -107,10 +107,40 @@ class FrontEnd:
         self.config = config or PyramidConfig(
             levels=3, window_size=5, iterations=3
         )
+        # Track-culling border stripe width: the dense-flow field is
+        # unreliable within ~(max_disp + window) of the border (warp OOB
+        # fill + window support + the fast path's clamp all meet there —
+        # the same stripe the adaptive band selector masks,
+        # flow/pyramidal._select_band_index). See ``margin_for``.
+        self.stripe = self.config.max_disp + self.config.window_size
         self.init = jax.jit(self._init)
         self.step = jax.jit(self._step)
         self.scan_steps = jax.jit(self._scan_steps)
         self.carry_of_frame = jax.jit(self._carry_of_frame)
+
+    def margin_for(self, h: int, w: int, for_cull: bool = True) -> int:
+        """Seed/cull border margin for a given frame shape (static).
+
+        Tracks seeded in or advanced into the border stripe sample
+        garbage flow: measured on the 320x240 VO trajectory suite
+        (pallas), a 3 px margin lets the band-config choice swing
+        strafe_x rpe_rot 0.11 -> 4.8 deg (the +-3 and +-8 clamps shape
+        the stripe's garbage differently) while the full 13 px stripe
+        margin makes the bands agree (0.09 vs 0.21 deg), improves mean
+        reprojection 0.341 -> 0.233 px, and cuts arc_yaw/dolly_z ATE
+        32-48%. But the stripe is only excluded when it costs little
+        field of view — on small frames the border tracks carry most of
+        the scale/parallax leverage: the 160x120 visual-inertial
+        metric-span recovery degrades 0.99 -> 0.77 with the full stripe
+        excluded (either at seed or at cull, measured independently).
+        Rule: full stripe margin when min(h, w) >= 16x the stripe
+        (stripe <= ~6% of the frame dimension), else the legacy values
+        (cull margin 3, seed margin 0 — even a 3 px seed exclusion
+        measurably degrades the tiny-frame VI span, 0.99 -> 0.77).
+        """
+        if min(h, w) >= 16 * self.stripe:
+            return self.stripe
+        return 3 if for_cull else 0
 
     # -- flow plumbing ------------------------------------------------------
 
@@ -156,7 +186,10 @@ class FrontEnd:
         historical ``start()`` convention.
         """
         frame = jnp.asarray(frame, jnp.float32)
-        t = tracking.seed_grid(frame, grid_step=self.grid_step)
+        t = tracking.seed_grid(
+            frame, grid_step=self.grid_step,
+            margin=self.margin_for(*frame.shape, for_cull=False),
+        )
         n = t.xy.shape[0]
         lm = jnp.arange(n, dtype=jnp.int32)
         n_lm = jnp.asarray(n, jnp.int32)
@@ -192,7 +225,7 @@ class FrontEnd:
         prev_xy = state.xy
         t = tracking.advance(
             tracking.Tracks(state.xy, state.start_xy, state.age, state.alive),
-            u, v,
+            u, v, margin=self.margin_for(*frame.shape),
         )
         if self.fb_check_threshold is not None:
             ub, vb = self._flow(carry_curr, state.carry)
@@ -223,7 +256,10 @@ class FrontEnd:
 
         def reseed(args):
             xy, start, age, alive, lm, n_lm = args
-            fresh = tracking.seed_grid(frame, grid_step=self.grid_step)
+            fresh = tracking.seed_grid(
+                frame, grid_step=self.grid_step,
+                margin=self.margin_for(*frame.shape, for_cull=False),
+            )
             good = fresh.alive & jnp.logical_not(alive)
             new_ids = n_lm + jnp.cumsum(good.astype(jnp.int32)) - 1
             return (

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpuflow.vo import se3
+from tpuflow.vo._precision import pin_matmul_precision
 
 
 class ImuIncrement(NamedTuple):
@@ -59,6 +60,7 @@ class ImuIncrement(NamedTuple):
     j_p_ba: jax.Array | None = None
 
 
+@pin_matmul_precision
 def preintegrate(
     gyro: jax.Array,
     accel: jax.Array,

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from tpuflow.vo import se3
-
+from tpuflow.vo._precision import pin_matmul_precision
 
 
 class PoseGraph(NamedTuple):
@@ -65,6 +65,7 @@ def residuals(g: PoseGraph) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("num_nodes",))
+@pin_matmul_precision
 def gauss_newton_step(
     g: PoseGraph, damping: float = 1e-6, num_nodes: int | None = None
 ) -> PoseGraph:

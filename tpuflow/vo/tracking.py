@@ -47,10 +47,27 @@ def seed_grid(
     frame: jax.Array,
     grid_step: int = 16,
     min_response: float = 1.0,
+    margin: int = 0,
 ) -> Tracks:
-    """Seed one feature per grid cell at the cell's best corner."""
+    """Seed one feature per grid cell at the cell's best corner.
+
+    ``margin``: exclude a border stripe from seeding (the dense-flow
+    field is unreliable within ~(max_disp + window) of the border — see
+    device_loop.FrontEnd.margin). Cells straddling the stripe pick their
+    best corner outside it; cells fully inside seed nothing. Without
+    this, border seeds die on their first ``advance`` and are re-minted
+    with fresh landmark ids every keyframe — pure id churn.
+    """
     h, w = frame.shape
     resp = shi_tomasi_response(frame)
+    if margin > 0:
+        y = jnp.arange(h)[:, None]
+        x = jnp.arange(w)[None, :]
+        inside = (
+            (y >= margin) & (y < h - margin)
+            & (x >= margin) & (x < w - margin)
+        )
+        resp = jnp.where(inside, resp, -jnp.inf)
     gy = h // grid_step
     gx = w // grid_step
     cells = resp[: gy * grid_step, : gx * grid_step].reshape(

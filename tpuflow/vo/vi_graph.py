@@ -39,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpuflow.vo import se3
+from tpuflow.vo._precision import pin_matmul_precision
 from tpuflow.vo.imu import ImuIncrement
 
 
@@ -52,6 +53,7 @@ class ViSolution(NamedTuple):
     accel_bias: np.ndarray | None = None  # (3,)
 
 
+@pin_matmul_precision
 def _solve_states(r_wb0, p0, v0, meas, gravity, weights, iterations,
                   estimate_bias: bool = False):
     """GN over (R_wb, p, v) x K + log-scale (+ shared biases when
