@@ -171,6 +171,45 @@ def test_tiled_pallas_matches_single_pallas(rng):
     np.testing.assert_allclose(np.asarray(v_t[0]), np.asarray(v_s), atol=1e-3)
 
 
+def test_tiled_pallas_interpret_cpu_mesh(rng):
+    """The REAL pallas kernel code path inside shard_map, on a 4-device
+    virtual CPU mesh via interpret mode — the multi-chip composition the
+    round-3 dryrun could not cover. Unblocked by (a) replacing the
+    local-batch vmap with a static unrolled loop (interpret's ordered IO
+    effects refuse vmap) and (b) entering interpret mode INSIDE the
+    shard-mapped code (tiled_pyramidal._interpret_ctx). Known remaining
+    limit, minimal repro in scripts/interpret_8dev_repro.py: the same
+    program deadlocks the interpret machinery's global device barrier at
+    8 devices, so this test runs the 4-device spatial mesh."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.sharding import Mesh
+
+    from tpuflow.core.config import PyramidConfig
+    from tpuflow.flow import lucas_kanade_pyramidal
+    from tpuflow.sharding.tiled_pyramidal import tiled_lucas_kanade_pyramidal
+
+    _need(4)
+    if jax.default_backend() != "cpu":
+        pytest.skip("CPU-mesh interpret test (real TPU covered by "
+                    "tpu_fastpath_check.sh)")
+    devs = np.array(jax.devices()[:4]).reshape(1, 2, 2)
+    mesh = Mesh(devs, ("batch", "ty", "tx"))
+    cfg = PyramidConfig(levels=2, iterations=2)
+    prev = jnp.asarray(rng.uniform(0, 255, (1, 80, 128)), jnp.float32)
+    curr = jnp.roll(prev, 2, axis=2)
+    u_t, v_t = tiled_lucas_kanade_pyramidal(
+        prev, curr, mesh, config=cfg, backend="pallas", interpret=True
+    )
+    u_t, v_t = np.asarray(u_t), np.asarray(v_t)
+    with pltpu.force_tpu_interpret_mode():
+        u_s, v_s = lucas_kanade_pyramidal(
+            prev[0], curr[0], config=cfg, backend="pallas"
+        )
+        np.testing.assert_allclose(u_t[0], np.asarray(u_s), atol=1e-3)
+        np.testing.assert_allclose(v_t[0], np.asarray(v_s), atol=1e-3)
+
+
 def test_extended_tile_pallas_lk_geometry(rng):
     """The tiled fast path's core geometry claim, tested without
     shard_map: running the fused LK kernel on a halo-extended tile and
