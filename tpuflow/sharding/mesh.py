@@ -41,16 +41,27 @@ def initialize_multihost(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
     process_id: int | None = None,
-) -> None:
+) -> bool:
     """Initialize cross-host JAX (DCN) — call once per process before any
-    device computation on multi-host deployments. No-op when JAX has
-    already been initialized for distribution."""
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
-    except RuntimeError:
-        # Already initialized (or single-process run) — keep going.
-        pass
+    device computation on multi-host deployments.
+
+    Returns True when this call initialized the runtime, False when it
+    was already initialized (idempotent re-entry). Any other failure
+    raises — a multi-host deployment with a broken coordinator must not
+    silently fall back to single-process.
+
+    Exercised for real (two local processes over a localhost
+    coordinator, global 2x4-device CPU mesh, cross-process psum) by
+    tests/test_multihost.py — the closest this single-host rig can get
+    to a DCN bring-up.
+    """
+    from jax._src import distributed as _distributed
+
+    if _distributed.global_state.client is not None:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
