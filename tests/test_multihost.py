@@ -97,7 +97,14 @@ def test_two_process_initialize_multihost(tmp_path):
                 q.kill()
             pytest.fail("multihost worker timed out (coordinator hang?)")
         assert p.returncode == 0, f"worker failed:\n{err[-2000:]}"
-        outs.append(json.loads(out.strip().splitlines()[-1]))
+        # Gloo logs "[Gloo] Rank N is connected ..." on STDOUT, racing
+        # the JSON line (sometimes trailing it) — find the JSON line
+        # rather than assuming it is last.
+        json_lines = [
+            ln for ln in out.splitlines() if ln.startswith("{")
+        ]
+        assert json_lines, f"no JSON line in worker output:\n{out[-2000:]}"
+        outs.append(json.loads(json_lines[-1]))
     for o in outs:
         assert o["ok"], o
         assert o["did_init"] is True

@@ -204,3 +204,72 @@ def test_baseline_provenance_and_regression_flag(tmp_path):
     tiny = json.loads(json.dumps(results))
     tiny[0]["metrics"]["rpe_rot_deg"] = 0.10005
     assert vo_verifier.compare_against_baseline(tiny, path, backend="jnp")
+
+
+def test_platform_provenance_and_cross_floors(tmp_path):
+    """Round-4 gate mechanics: platform recorded in the baseline, the
+    cross-provenance metric floors absorb absolutely-negligible moves
+    (the measured swing_imu rpe_rot 0.035->0.197 deg case), and
+    default_threshold picks (threshold, floor) per provenance."""
+    results = [
+        {
+            "sequence": "swing_imu",
+            "n_frames": 16,
+            "metrics": {
+                "ate_rmse": 0.070, "rpe_trans": 0.0154,
+                "rpe_rot_deg": 0.035, "scale": 1.0,
+                "mean_reprojection_error": 0.01, "metric_poses": True,
+            },
+            "track_count": 293,
+        }
+    ]
+    path = tmp_path / "base.json"
+    vo_verifier.update_baseline(
+        results, path, backend="jnp", platform="cpu"
+    )
+    assert json.loads(path.read_text())["platform"] == "cpu"
+
+    # A +463% relative rot move that is absolutely tiny: flags with the
+    # dust floor, passes with the cross-provenance floors.
+    moved = json.loads(json.dumps(results))
+    moved[0]["metrics"]["rpe_rot_deg"] = 0.197
+    assert not vo_verifier.compare_against_baseline(
+        moved, path, threshold_percent=60.0, abs_floor=1e-4, backend="jnp"
+    )
+    assert vo_verifier.compare_against_baseline(
+        moved, path, threshold_percent=60.0,
+        abs_floor=vo_verifier.CROSS_METRIC_FLOORS, backend="jnp",
+    )
+    # But a genuinely broken rotation (above the floor AND the
+    # threshold) still flags under the floors.
+    broken = json.loads(json.dumps(results))
+    broken[0]["metrics"]["rpe_rot_deg"] = 0.9
+    assert not vo_verifier.compare_against_baseline(
+        broken, path, threshold_percent=60.0,
+        abs_floor=vo_verifier.CROSS_METRIC_FLOORS, backend="jnp",
+    )
+
+    thr, floor = vo_verifier.default_threshold("pallas", "tpu", path)
+    assert thr == 10.0 and floor == 1e-4
+    thr, floor = vo_verifier.default_threshold("jnp", "tpu", path)
+    assert thr == vo_verifier.CPU_CROSS_HOST_THRESHOLD
+    assert floor is vo_verifier.CROSS_METRIC_FLOORS
+
+
+def test_absolute_bounds_checker():
+    good = [
+        {
+            "sequence": "strafe_x",
+            "n_frames": 8,
+            "metrics": {"ate_rmse": 0.006, "rpe_trans": 0.01,
+                        "rpe_rot_deg": 0.18},
+            "track_count": 295,
+        }
+    ]
+    assert vo_verifier.check_absolute_bounds(good, verbose=False)
+    bad = json.loads(json.dumps(good))
+    bad[0]["metrics"]["ate_rmse"] = 0.05  # above the 0.03 default bound
+    assert not vo_verifier.check_absolute_bounds(bad, verbose=False)
+    few = json.loads(json.dumps(good))
+    few[0]["track_count"] = 50
+    assert not vo_verifier.check_absolute_bounds(few, verbose=False)
