@@ -253,6 +253,59 @@ class TestBandedWarp:
                 np.asarray(a), np.asarray(b), rtol=3e-7, atol=0
             )
 
+    def test_packed_u16_within_quantization_on_float_frames(self, rng):
+        """packed_u16 (two 8.8 fixed-point corners per i32 gather, 2x
+        fewer hardware gathers) vs the exact kernel on NON-integer float
+        frames — the blurred coarse pyramid levels packed_u8 cannot
+        serve. Error bound: each corner quantizes to 1/256 with
+        round-to-nearest (+-1/512), and bilinear interpolation is a
+        convex combination, so |err| <= 1/512 + lerp rounding."""
+        from tpuflow.kernels import pallas_warp
+
+        img = rng.uniform(0, 255, (48, 200)).astype(np.float32)
+        u = rng.uniform(-10, 10, (48, 200)).astype(np.float32)
+        v = rng.uniform(-10, 10, (48, 200)).astype(np.float32)
+        for mdv in (8, 3, 2):
+            with pltpu.force_tpu_interpret_mode():
+                a = pallas_warp.warp_image_banded(
+                    jnp.asarray(img), jnp.asarray(u), jnp.asarray(v),
+                    max_disp=8, clamp_flow=True, max_disp_v=mdv,
+                )
+                b = pallas_warp.warp_image_banded(
+                    jnp.asarray(img), jnp.asarray(u), jnp.asarray(v),
+                    max_disp=8, clamp_flow=True, max_disp_v=mdv,
+                    packed_u16=True,
+                )
+            err = np.abs(np.asarray(a) - np.asarray(b))
+            assert err.max() <= 1.0 / 256.0 + 1e-5, (mdv, err.max())
+
+    def test_packed_u16_zero_flow_identity_to_quantization(self, rng):
+        """Zero flow must reproduce the frame to 8.8 rounding (the warp
+        degenerates to the quantizer itself)."""
+        from tpuflow.kernels import pallas_warp
+
+        img = rng.uniform(0, 255, (24, 160)).astype(np.float32)
+        z = np.zeros_like(img)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(
+                pallas_warp.warp_image_banded(
+                    jnp.asarray(img), jnp.asarray(z), jnp.asarray(z),
+                    clamp_flow=True, packed_u16=True,
+                )
+            )
+        q = np.floor(img * 256.0 + 0.5) / 256.0
+        np.testing.assert_allclose(got, q, atol=1e-5)
+
+    def test_packed_flags_are_exclusive(self, rng):
+        from tpuflow.kernels import pallas_warp
+
+        img, u, v = self._pair(rng, h=16, w=128)
+        with pytest.raises(AssertionError, match="pick one"):
+            pallas_warp.warp_image_banded(
+                jnp.asarray(img), jnp.asarray(u), jnp.asarray(v),
+                clamp_flow=True, packed_u8=True, packed_u16=True,
+            )
+
     def test_packed_u8_requires_clamp_flow(self, rng):
         from tpuflow.kernels import pallas_warp
 
@@ -569,6 +622,7 @@ def test_pyramidal_production_config_composes(frame_pair):
 
     cfg = PYRAMID_CONFIGS["production"]
     assert cfg.warp_packed_u8
+    assert cfg.warp_packed_u16  # r4: packed-u16 coarse-level warp
     prev, curr = (jnp.asarray(f) for f in frame_pair)  # 2 px horizontal
     with pltpu.force_tpu_interpret_mode():
         u_d, v_d = lucas_kanade_pyramidal(

@@ -93,3 +93,60 @@ def test_uniform_window_sum(img):
     got = np.asarray(ops.uniform_window_sum_valid(jnp.asarray(img), 5))
     assert got.shape == (img.shape[0] - 4, img.shape[1] - 4)
     np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+
+def test_banded_resample_properties():
+    """The r4 block-banded MXU resample (ops._banded_left/_banded_right):
+    (a) suite-resolution outputs (<= _BAND_BLOCK) take the dense branch
+    and are bit-identical to the plain matrix product — every parity and
+    committed-baseline path is unchanged; (b) large outputs agree with
+    the dense product to the documented ~1-ulp FMA-contraction class."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuflow.core import ops
+
+    rng = np.random.default_rng(3)
+
+    def dense_resize(img, oh, ow):
+        wr = jnp.asarray(ops._resample_matrix_np(img.shape[0], oh), jnp.float32)
+        wc = jnp.asarray(ops._resample_matrix_np(img.shape[1], ow), jnp.float32)
+        out = jax.lax.dot(wr, img, precision=jax.lax.Precision.HIGHEST)
+        return jax.lax.dot(out, wc.T, precision=jax.lax.Precision.HIGHEST)
+
+    # (a) suite resolution: bit-identical (dense branch).
+    img = jnp.asarray(rng.uniform(0, 255, (240, 320)), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(ops.resize_bilinear(img, 120, 160)),
+        np.asarray(dense_resize(img, 120, 160)),
+    )
+    # (b) 1080p: banded branch, <= 2 ulp of the dense product.
+    big = jnp.asarray(rng.uniform(0, 255, (1080, 1920)), jnp.float32)
+    got = np.asarray(ops.resize_bilinear(big, 540, 960))
+    ref = np.asarray(dense_resize(big, 540, 960))
+    assert np.abs(got - ref).max() <= 2 * 3.05e-5
+
+    # downsample: same structure, Gaussian band.
+    got_d = np.asarray(ops.downsample_fused(big, 540, 960, 2.0))
+    dr = jnp.asarray(ops._downsample_matrix_np(1080, 540, 2.0), jnp.float32)
+    dc = jnp.asarray(ops._downsample_matrix_np(1920, 960, 2.0), jnp.float32)
+    ref_d = np.asarray(
+        jax.lax.dot(
+            jax.lax.dot(dr, big, precision=jax.lax.Precision.HIGHEST),
+            dc.T, precision=jax.lax.Precision.HIGHEST,
+        )
+    )
+    assert np.abs(got_d - ref_d).max() < 1e-3  # ~ulp scale on 0..255
+
+    # Block decomposition covers every output row exactly once and only
+    # touches in-range columns.
+    d_np = ops._downsample_matrix_np(2160, 1080, 2.0)
+    blocks = ops._banded_blocks(d_np, ops._BAND_BLOCK)
+    assert blocks[0][0] == 0 and blocks[-1][1] == 1080
+    for (b0, b1, lo, hi), (n0, _, _, _) in zip(blocks, blocks[1:]):
+        assert b1 == n0
+    for b0, b1, lo, hi in blocks:
+        assert 0 <= lo < hi <= 2160
+        # nothing nonzero outside [lo, hi)
+        outside = np.abs(d_np[b0:b1, :lo]).sum() + np.abs(d_np[b0:b1, hi:]).sum()
+        assert outside == 0.0

@@ -85,6 +85,17 @@ class PyramidConfig:
     # are blurred/resampled floats and always use the exact kernel).
     # Callers feeding non-integer float frames must leave this off.
     warp_packed_u8: bool = False
+    # Packed-u16 warp gathers (backend="pallas" only): two horizontal
+    # bilinear corners per i32 word as 8.8 fixed point (quantization
+    # step 1/256 gray — far below the blurred pyramid levels' gradient
+    # scale, unlike u8's half-gray step that was measured +23-33% MAE
+    # and rejected). Halves the banded warp's hardware gathers on the
+    # levels packed_u8 cannot serve: with both flags set, the finest
+    # level runs packed_u8 (bit-exact for 8-bit sources) and the COARSE
+    # levels run packed_u16. Measured r4 at 1080p full band: exact
+    # 0.749 ms -> u16 0.378 ms (see benchmarks/r04). Not bit-parity;
+    # configs using it carry their own gated regression baseline.
+    warp_packed_u16: bool = False
     description: str = ""
 
     def __post_init__(self):
@@ -167,8 +178,8 @@ PYRAMID_CONFIGS: dict[str, PyramidConfig] = {
     # real sub-pixel motion.
     "production": PyramidConfig(
         levels=3, window_size=5, iterations=3, adaptive_v_bands=(2, 3, 8),
-        relaxed_order=True, warp_packed_u8=True,
+        relaxed_order=True, warp_packed_u8=True, warp_packed_u16=True,
         description="adaptive vertical band + relaxed-order kernels + "
-        "packed-u8 finest-level warp (8-bit input contract)",
+        "packed-u8 finest / packed-u16 coarse warp (8-bit input contract)",
     ),
 }

@@ -177,13 +177,16 @@ def resize_bilinear(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
     row — they run on the MXU (gather-based resampling is ~25x slower on
     TPU). A two-term dot is order-independent in f32, so values match
     bilinear ``map_coordinates`` on the same grid exactly (all
-    coordinates in-bounds).
+    coordinates in-bounds). Applied block-banded (``_banded_left/right``)
+    for outputs above ``_BAND_BLOCK``: the dropped matrix tails are exact
+    zeros, but XLA codegen may contract the two-term row differently at
+    the different K extent (measured 1 ulp at 1080p). Reference-suite
+    resolutions (<=320x240, and every parity/baseline path) stay on the
+    dense branch and remain bit-identical.
     """
     h, w = img.shape
-    wr = _resample_matrix(h, out_h, img.dtype)
-    wc = _resample_matrix(w, out_w, img.dtype)
-    out = jax.lax.dot(wr, img, precision=jax.lax.Precision.HIGHEST)
-    return jax.lax.dot(out, wc.T, precision=jax.lax.Precision.HIGHEST)
+    out = _banded_left(_resample_matrix_np(h, out_h), img)
+    return _banded_right(out, _resample_matrix_np(w, out_w))
 
 
 def downsample_fused(
@@ -204,10 +207,81 @@ def downsample_fused(
     sequential path remains available for golden comparisons.
     """
     h, w = img.shape
-    dr = jnp.asarray(_downsample_matrix_np(h, out_h, sigma), img.dtype)
-    dc = jnp.asarray(_downsample_matrix_np(w, out_w, sigma), img.dtype)
-    out = jax.lax.dot(dr, img, precision=jax.lax.Precision.HIGHEST)
-    return jax.lax.dot(out, dc.T, precision=jax.lax.Precision.HIGHEST)
+    out = _banded_left(_downsample_matrix_np(h, out_h, sigma), img)
+    return _banded_right(out, _downsample_matrix_np(w, out_w, sigma))
+
+
+# Output-block size for the banded resample/downsample matmuls. The
+# composed operators are BANDED around the (scaled) diagonal — Gaussian
+# taps truncate to exact zeros at radius 4*sigma and the bilinear
+# resampler has two taps — so a dense (out, in) matmul burns
+# in_extent/band_width x more MXU FLOPs than the nonzeros need (~8x at
+# 4K for the sigma=2 downsample, ~500x for flow upsampling). Splitting
+# the OUTPUT into row blocks and slicing each block's exact nonzero
+# column range keeps the MXU but drops the zero tails (measured
+# numbers: benchmarks/r04/ 4K profile + DESIGN §4 r4 note). 256 keeps
+# every block matmul MXU-shaped (>=2 passes of 128) while bounding the
+# unrolled block count at 4K to <=9 per axis.
+_BAND_BLOCK = 256
+
+
+def _banded_blocks(d_np: "np.ndarray", block: int):
+    """Static (row0, row1, col0, col1) block decomposition of a banded
+    operator, from its exact f64 zero pattern."""
+    m, n = d_np.shape
+    out = []
+    for b0 in range(0, m, block):
+        b1 = min(b0 + block, m)
+        nz = np.nonzero(np.abs(d_np[b0:b1]).sum(axis=0) > 0.0)[0]
+        lo, hi = int(nz[0]), int(nz[-1]) + 1
+        out.append((b0, b1, lo, hi))
+    return out
+
+
+def _banded_left(d_np: "np.ndarray", img: jax.Array) -> jax.Array:
+    """``D @ img`` exploiting D's band structure (see _BAND_BLOCK).
+
+    Outputs <= _BAND_BLOCK rows take the dense branch (bit-identical to
+    the previous implementation — this keeps every 320x240 parity and
+    committed-baseline path exact). Larger outputs split into blocks
+    whose dropped columns are exact zeros; XLA's different K-extent
+    codegen (FMA contraction, reduction chunking) rounds ~1 ulp
+    differently from dense — measured 3e-5 on 0..255 data at 1080p,
+    inside every large-frame gate's envelope (the fast-path baselines'
+    own 10% gates; same class as downsample_fused's f32 note).
+    """
+    m, n = d_np.shape
+    if m <= _BAND_BLOCK:
+        return jax.lax.dot(
+            jnp.asarray(d_np, img.dtype), img,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    outs = [
+        jax.lax.dot(
+            jnp.asarray(d_np[b0:b1, lo:hi], img.dtype), img[lo:hi],
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        for b0, b1, lo, hi in _banded_blocks(d_np, _BAND_BLOCK)
+    ]
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+
+def _banded_right(img: jax.Array, d_np: "np.ndarray") -> jax.Array:
+    """``img @ D.T`` exploiting D's band structure (column blocks)."""
+    m, n = d_np.shape
+    if m <= _BAND_BLOCK:
+        return jax.lax.dot(
+            img, jnp.asarray(d_np.T, img.dtype),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    outs = [
+        jax.lax.dot(
+            img[:, lo:hi], jnp.asarray(d_np[b0:b1, lo:hi].T, img.dtype),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        for b0, b1, lo, hi in _banded_blocks(d_np, _BAND_BLOCK)
+    ]
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
 
 @functools.lru_cache(maxsize=None)

@@ -129,6 +129,19 @@ def profile_pipeline(
             ),
             16 * px,
         ))
+    if cfg.warp_packed_u16:
+        # The packed-u16 coarse-level variant (r4): two 8.8 fixed-point
+        # corners per i32 gather, halving the gather count on the
+        # blurred float levels packed_u8 cannot serve.
+        stages.insert(2, (
+            "banded warp (packed u16)",
+            lambda x: pallas_warp.warp_image_banded(
+                curr, u0, x * 0 + u0, max_disp=cfg.max_disp,
+                max_disp_v=cfg.max_disp_v_effective, clamp_flow=True,
+                packed_u16=True,
+            ),
+            16 * px,
+        ))
     stages += [
         (
             "resize 2x down (MXU)",

@@ -616,8 +616,11 @@ def main() -> None:
     parser.add_argument(
         "--regression-threshold", type=float, default=None,
         help="percent gate vs the committed baseline; default 10 on the "
-        "pallas/TPU backend, CPU_CROSS_HOST_THRESHOLD on jnp (CPU "
-        "codegen varies by host CPU — see the constant's note)",
+        "pallas backend (bit-stable on the physical chip), "
+        "CPU_CROSS_HOST_THRESHOLD with per-metric absolute floors on "
+        "jnp (codegen varies by host CPU and platform — see "
+        "default_threshold). Absolute accuracy bounds "
+        "(check_absolute_bounds) are enforced regardless.",
     )
     parser.add_argument("--baseline", type=str, default=str(VO_BASELINE))
     parser.add_argument(

@@ -52,19 +52,23 @@ def _refine_level(
             # into the LK pass — zero XLA plane passes per iteration.
             from tpuflow.kernels import pallas_lk, pallas_warp
 
+            # Packed-gather selection by level: the finest level IS the
+            # raw frame, whose values are 0..255 integers for 8-bit
+            # sources (the config's documented input contract) — it can
+            # use the bit-exact packed_u8 corner-pair kernel. Coarse
+            # levels are blurred floats: u8-QUANTIZING them was measured
+            # and rejected (+23%/+33% u/v-MAE on translate_medium — the
+            # blurred levels' gradients don't survive half-gray
+            # rounding), but the r4 packed_u16 kernel's 1/256-step 8.8
+            # quantization is below their gradient scale and halves the
+            # gather count (suite impact gated at <10%, see
+            # docs/verification_results_pallas.md).
+            use_u8 = cfg.warp_packed_u8 and finest
             warped = pallas_warp.warp_image_banded(
                 img_curr, u, v, max_disp=cfg.max_disp, clamp_flow=True,
                 max_disp_v=cfg.max_disp_v_effective,
-                # Finest level only: that level IS the raw frame, whose
-                # values are 0..255 integers for 8-bit sources (the
-                # config's documented input contract) — coarse levels
-                # are blurred floats and use the exact kernel. (Integer-
-                # QUANTIZING the coarse levels to extend the packed warp
-                # everywhere was measured and rejected: +23%/+33%
-                # u/v-MAE on translate_medium for ~12% composed speed —
-                # the blurred coarse levels' gradients are too small to
-                # survive half-gray-level rounding.)
-                packed_u8=cfg.warp_packed_u8 and finest,
+                packed_u8=use_u8,
+                packed_u16=cfg.warp_packed_u16 and not use_u8,
             )
             u, v, sdu, sdv = pallas_lk.lucas_kanade_refine(
                 img_prev,
@@ -221,6 +225,17 @@ def lucas_kanade_pyramidal(
     side-effect PNG writes from inside the solve loop; here the traced
     function stays pure and ``tpuflow.eval.visualize
     .save_pyramid_levels`` renders them.
+
+    **8-bit input contract** (configs with ``warp_packed_u8``, e.g.
+    ``production``): frames must carry integer values in [0, 255] —
+    i.e. come from an 8-bit source in native gray levels. A caller
+    feeding NORMALIZED [0, 1] floats under such a config gets a
+    silently floor-truncated (near-all-zero) finest-level warp and
+    garbage flow, because the packed corner-pair gather packs whole
+    gray levels into bytes. Scale such inputs by 255 (and round) or
+    select a config without ``warp_packed_u8``. ``warp_packed_u16``
+    configs only require values in [0, 255] (any float is fine;
+    quantization step 1/256).
     """
     cfg = config or PyramidConfig(
         levels=num_levels, window_size=window_size, iterations=num_iterations

@@ -49,7 +49,8 @@ def _round_up(x: int, m: int) -> int:
 
 def _warp_block(band, u, v, r0, *, n_rows: int, height: int, width: int,
                 wp: int, dpad: int, max_disp: int, max_disp_v: int,
-                clamp_flow: bool, packed_u8: bool = False, x1_scr=None):
+                clamp_flow: bool, packed_u8: bool = False,
+                packed_u16: bool = False, x1_scr=None):
     """Core banded-warp math on one VMEM band slab.
 
     ``band``: (n_rows + 2*dpad, wp + 256) slab whose local row d holds
@@ -109,7 +110,7 @@ def _warp_block(band, u, v, r0, *, n_rows: int, height: int, width: int,
     base = my_block * 128
     idx_a0 = rs(jnp.clip(x0 - base + shift, 0, 127))
     idx_b0 = rs(jnp.clip(x0 - base - shift, 0, 127))
-    if not packed_u8:
+    if not (packed_u8 or packed_u16):
         idx_a1 = rs(jnp.clip(x1 - base + shift, 0, 127))
         idx_b1 = rs(jnp.clip(x1 - base - shift, 0, 127))
     # Gather-space lane mask (lane < 64 <=> original col % 128 < 64).
@@ -228,6 +229,93 @@ def _warp_block(band, u, v, r0, *, n_rows: int, height: int, width: int,
         )
         return jnp.where(inside, out, 0.0)
 
+    if packed_u16:
+        # Packed-u16 path (round-4): TWO horizontal corners per i32
+        # gather — (x0, x0+1) of one candidate row as 16-bit fixed-point
+        # values (8.8: value*256, rounded; step 1/256 ~= 0.004 gray).
+        # Unlike packed_u8 (which needs integer-valued frames and costs
+        # half-gray rounding on anything else — rejected for the
+        # blurred coarse pyramid levels at +23-33% MAE), 8.8 quantization
+        # is far below the levels' gradient scale, so this extends the
+        # packed-gather speedup to the COARSE levels: the candidate loop
+        # runs 2 hardware gathers per candidate row instead of the exact
+        # path's 4 on a gather-issue-bound kernel (DESIGN.md §3).
+        # Accuracy is gated through the committed 10% suite like every
+        # fast-path variant. Same Mosaic hazard handling as packed_u8:
+        # the by-1-lane-shifted corner view is materialized through a
+        # VMEM scratch before the f32->i32 convert.
+        wb = wp + 256
+        assert x1_scr is not None, "packed_u16 needs the x1 scratch buffer"
+        x1_scr[...] = jax.lax.slice(band, (0, 1), (band_h, wb))
+
+        def q16(a):
+            # Round-to-nearest 8.8 fixed point; clip defends against
+            # out-of-contract values (the pyramid levels are convex
+            # combinations of u8 samples, so 0..255 holds by design).
+            # Convert the FULL plainly-laid-out array and slice the
+            # integer result afterwards — the structure the u8 path
+            # uses; converting slices instead was measured to blow up
+            # Mosaic compile time (>20 min at 1080p).
+            q = (a * 256.0 + 0.5).astype(jnp.int32)
+            return jnp.clip(q, 0, 65535).astype(jnp.uint32)
+
+        bu = q16(band)
+        su = q16(x1_scr[...])
+        p = (
+            (jax.lax.slice(bu, (0, 0), (band_h, wb - 1)) << jnp.uint32(16))
+            | jax.lax.slice(su, (0, 0), (band_h, wb - 1))
+        )
+        packed_a = jax.lax.slice(
+            p, (0, 128 - shift), (band_h, 128 - shift + wp)
+        ).reshape(band_h * nb, 128)
+        packed_b = jax.lax.slice(
+            p, (0, 128 + shift), (band_h, 128 + shift + wp)
+        ).reshape(band_h * nb, 128)
+
+        up_plane = jnp.zeros((th * nb, 128), jnp.float32)
+        low_plane = jnp.zeros((th * nb, 128), jnp.float32)
+        m_prev = None
+        for dy in range(dpad - max_disp_v, dpad + max_disp_v + 2):
+            rows_a = jax.lax.slice(
+                packed_a, (dy * nb, 0), ((dy + th) * nb, 128)
+            )
+            rows_b = jax.lax.slice(
+                packed_b, (dy * nb, 0), ((dy + th) * nb, 128)
+            )
+            w32 = jnp.where(
+                lower_b,
+                jnp.take_along_axis(
+                    rows_a, idx_a0, axis=1, mode="promise_in_bounds"
+                ),
+                jnp.take_along_axis(
+                    rows_b, idx_b0, axis=1, mode="promise_in_bounds"
+                ),
+            )
+            c0 = (w32 >> jnp.uint32(16)).astype(jnp.int32).astype(jnp.float32)
+            c1 = (
+                (w32 & jnp.uint32(0xFFFF)).astype(jnp.int32)
+                .astype(jnp.float32)
+            )
+            h = c0 * fxc_r + c1 * fx_r
+            m = dy_r == dy
+            up_plane = jnp.where(m, h, up_plane)
+            if m_prev is not None:
+                low_plane = jnp.where(m_prev, h, low_plane)
+            m_prev = m
+
+        # The 8.8 scale folds into the final vertical lerp (one multiply
+        # per output instead of two per corner).
+        out = (
+            (up_plane * fyc_r + low_plane * fy_r) * (1.0 / 256.0)
+        ).reshape(th, wp)
+        inside = (
+            (xf >= 0.0)
+            & (xf <= float(width - 1))
+            & (yf >= 0.0)
+            & (yf <= float(height - 1))
+        )
+        return jnp.where(inside, out, 0.0)
+
     band_a = jax.lax.slice(
         band, (0, 128 - shift), (band_h, 128 - shift + wp)
     ).reshape(band_h * nb, 128)
@@ -294,7 +382,7 @@ def _warp_block(band, u, v, r0, *, n_rows: int, height: int, width: int,
 def _warp_kernel(img_hbm, u_ref, v_ref, out_ref, band_sl, sem, *extra_scr,
                  n_tiles: int, tile_rows: int, height: int, width: int,
                  wp: int, dpad: int, max_disp: int, max_disp_v: int,
-                 clamp_flow: bool, packed_u8: bool):
+                 clamp_flow: bool, packed_u8: bool, packed_u16: bool):
     th = tile_rows
     s = pl.program_id(0)
     b = s // n_tiles
@@ -312,6 +400,7 @@ def _warp_kernel(img_hbm, u_ref, v_ref, out_ref, band_sl, sem, *extra_scr,
         band_sl[:], u_ref[0], v_ref[0], r0, n_rows=th, height=height,
         width=width, wp=wp, dpad=dpad, max_disp=max_disp,
         max_disp_v=max_disp_v, clamp_flow=clamp_flow, packed_u8=packed_u8,
+        packed_u16=packed_u16,
         x1_scr=extra_scr[0] if extra_scr else None,
     )
     out_ref[0] = jax.lax.slice(out, (0, 0), (th, width))
@@ -320,7 +409,8 @@ def _warp_kernel(img_hbm, u_ref, v_ref, out_ref, band_sl, sem, *extra_scr,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "max_disp", "tile_rows", "clamp_flow", "max_disp_v", "packed_u8"
+        "max_disp", "tile_rows", "clamp_flow", "max_disp_v", "packed_u8",
+        "packed_u16",
     ),
 )
 def _warp_batched(
@@ -332,6 +422,7 @@ def _warp_batched(
     clamp_flow: bool = False,
     max_disp_v: int | None = None,
     packed_u8: bool = False,
+    packed_u16: bool = False,
 ) -> jax.Array:
     """(B, H, W) batched banded warp."""
     if max_disp_v is None:
@@ -371,6 +462,7 @@ def _warp_batched(
         max_disp_v=max_disp_v,
         clamp_flow=clamp_flow,
         packed_u8=packed_u8,
+        packed_u16=packed_u16,
     )
     flow_spec = pl.BlockSpec(
         (1, th, wp), lambda s: (s // n_tiles, s % n_tiles, 0),
@@ -399,7 +491,7 @@ def _warp_batched(
             # Materialization buffer for the by-1-lane-shifted corner
             # view (see _warp_block's Mosaic-hazard note).
             [pltpu.VMEM((th + 2 * dpad, wp + 255), image.dtype)]
-            if packed_u8 else []
+            if (packed_u8 or packed_u16) else []
         ),
         cost_estimate=pl.CostEstimate(
             flops=int((2 * max_disp_v + 2) * 16 * bsz * h * w),
@@ -417,12 +509,13 @@ def _make_warp(
     clamp_flow: bool,
     max_disp_v: int | None,
     packed_u8: bool,
+    packed_u16: bool,
 ):
     @jax.custom_batching.custom_vmap
     def warp(image, flow_u, flow_v):
         return _warp_batched(
             image[None], flow_u[None], flow_v[None], max_disp, tile_rows,
-            clamp_flow, max_disp_v, packed_u8,
+            clamp_flow, max_disp_v, packed_u8, packed_u16,
         )[0]
 
     @warp.def_vmap
@@ -435,7 +528,7 @@ def _make_warp(
         return (
             _warp_batched(
                 *args, max_disp, tile_rows, clamp_flow, max_disp_v,
-                packed_u8,
+                packed_u8, packed_u16,
             ),
             True,
         )
@@ -452,6 +545,7 @@ def warp_image_banded(
     clamp_flow: bool = False,
     max_disp_v: int | None = None,
     packed_u8: bool = False,
+    packed_u16: bool = False,
 ) -> jax.Array:
     """Backward bilinear warp, out(x,y) = image(x+u, y+v), OOB -> 0.
 
@@ -468,14 +562,19 @@ def warp_image_banded(
     assert max_disp_v is None or max_disp_v <= 31
     # packed_u8 (4x fewer hardware gathers in the candidate loop, see
     # _warp_block) is exact ONLY for images whose values are integers in
-    # [0, 255] — 8-bit sources, e.g. the finest pyramid level. It also
-    # assumes the in-band flow contract, so require the in-kernel clamp.
-    assert not packed_u8 or clamp_flow, "packed_u8 requires clamp_flow"
+    # [0, 255] — 8-bit sources, e.g. the finest pyramid level. packed_u16
+    # (2x fewer gathers) quantizes values in [0, 255] to 8.8 fixed point
+    # (step 1/256) and suits the blurred float pyramid levels. Both
+    # assume the in-band flow contract, so require the in-kernel clamp.
+    assert not (packed_u8 and packed_u16), "pick one packing"
+    assert not (packed_u8 or packed_u16) or clamp_flow, (
+        "packed gathers require clamp_flow"
+    )
     if image.ndim == 3:
         return _warp_batched(
             image, flow_u, flow_v, max_disp, tile_rows, clamp_flow,
-            max_disp_v, packed_u8,
+            max_disp_v, packed_u8, packed_u16,
         )
-    return _make_warp(max_disp, tile_rows, clamp_flow, max_disp_v, packed_u8)(
-        image, flow_u, flow_v
-    )
+    return _make_warp(
+        max_disp, tile_rows, clamp_flow, max_disp_v, packed_u8, packed_u16
+    )(image, flow_u, flow_v)

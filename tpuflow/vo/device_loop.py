@@ -78,6 +78,12 @@ class FrontEnd:
     ``mesh``: optional ("batch", "ty", "tx") mesh — the front-end dense
     flow runs spatially tiled with halo exchange inside the same step
     program (tpuflow.sharding.tiled_pyramidal).
+
+    8-bit input contract: when ``config`` enables ``warp_packed_u8``
+    (the ``production`` config does), frames fed to the session must be
+    integer-valued in [0, 255] — normalized [0, 1] inputs silently
+    produce a floor-truncated finest-level warp and garbage flow (see
+    ``tpuflow.flow.lucas_kanade_pyramidal``'s contract note).
     """
 
     def __init__(
