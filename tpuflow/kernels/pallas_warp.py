@@ -245,25 +245,29 @@ def _warp_block(band, u, v, r0, *, n_rows: int, height: int, width: int,
         # the by-1-lane-shifted corner view is materialized through a
         # VMEM scratch before the f32->i32 convert.
         wb = wp + 256
-        assert x1_scr is not None, "packed_u16 needs the x1 scratch buffer"
-        x1_scr[...] = jax.lax.slice(band, (0, 1), (band_h, wb))
 
         def q16(a):
-            # Round-to-nearest 8.8 fixed point; clip defends against
-            # out-of-contract values (the pyramid levels are convex
-            # combinations of u8 samples, so 0..255 holds by design).
-            # Convert the FULL plainly-laid-out array and slice the
-            # integer result afterwards — the structure the u8 path
-            # uses; converting slices instead was measured to blow up
-            # Mosaic compile time (>20 min at 1080p).
-            q = (a * 256.0 + 0.5).astype(jnp.int32)
-            return jnp.clip(q, 0, 65535).astype(jnp.uint32)
+            # Round-to-nearest 8.8 fixed point. No range clip: the
+            # contract bounds values to [0, 255] (pyramid levels are
+            # convex combinations of u8 samples, so this holds by
+            # construction, not just by convention) and 255*256+0.5
+            # rounds to 65280 < 2^16 — out-of-contract inputs are the
+            # caller's documented responsibility here exactly as in the
+            # packed_u8 path. Convert the FULL plainly-laid-out array
+            # and slice the integer result afterwards — the structure
+            # the u8 path uses; converting slices instead was measured
+            # to blow Mosaic compile time up (>30 min at 1080p).
+            return (a * 256.0 + 0.5).astype(jnp.int32).astype(jnp.uint32)
 
+        # ONE quantization pass; the x1 corner is the same integer
+        # array lane-shifted by 1. The Mosaic misaligned-convert hazard
+        # does not apply: the by-1-lane slice happens AFTER the convert
+        # on plain integer data (device-validated vs the exact kernel —
+        # the broken pattern is converting the misaligned VIEW).
         bu = q16(band)
-        su = q16(x1_scr[...])
         p = (
             (jax.lax.slice(bu, (0, 0), (band_h, wb - 1)) << jnp.uint32(16))
-            | jax.lax.slice(su, (0, 0), (band_h, wb - 1))
+            | jax.lax.slice(bu, (0, 1), (band_h, wb))
         )
         packed_a = jax.lax.slice(
             p, (0, 128 - shift), (band_h, 128 - shift + wp)
@@ -489,9 +493,11 @@ def _warp_batched(
             pltpu.SemaphoreType.DMA(()),
         ] + (
             # Materialization buffer for the by-1-lane-shifted corner
-            # view (see _warp_block's Mosaic-hazard note).
+            # view (see _warp_block's Mosaic-hazard note). packed_u16
+            # needs no scratch: its lane shift happens on already-
+            # converted integer data.
             [pltpu.VMEM((th + 2 * dpad, wp + 255), image.dtype)]
-            if (packed_u8 or packed_u16) else []
+            if packed_u8 else []
         ),
         cost_estimate=pl.CostEstimate(
             flops=int((2 * max_disp_v + 2) * 16 * bsz * h * w),
