@@ -151,11 +151,15 @@ def _warp_block(band, u, v, r0, *, n_rows: int, height: int, width: int,
         # 2..7. The by-1-lane-shifted corner view is therefore
         # MATERIALIZED through a VMEM scratch roundtrip first (verified
         # correct), so every convert below sees a plainly-laid-out
-        # operand; the remaining slices are row shifts or lane-aligned
-        # (both verified) plus the same 128+-shift copy slices the exact
-        # path has always used on gather operands. Mosaic also has no
-        # direct f32<->u32 cast, hence the i32 hop (values are 0..255,
-        # so the bit patterns agree).
+        # operand. An r4 attempt to drop the scratch by lane-shifting
+        # the already-converted integers instead — the trick that IS
+        # device-clean for the u16 path's single (x<<16)|shift(x)
+        # construction — FAILED device bit-identity for this 4-term
+        # shift/or chain (fastpath stage 7 caught it; reverted same
+        # session). The miscompile class is pattern-dependent: do not
+        # touch this packing without the on-device identity check.
+        # Mosaic also has no direct f32<->u32 cast, hence the i32 hop
+        # (values are 0..255, so the bit patterns agree).
         wb = wp + 256
         assert x1_scr is not None, "packed_u8 needs the x1 scratch buffer"
         x1_scr[...] = jax.lax.slice(band, (0, 1), (band_h, wb))
@@ -494,8 +498,8 @@ def _warp_batched(
         ] + (
             # Materialization buffer for the by-1-lane-shifted corner
             # view (see _warp_block's Mosaic-hazard note). packed_u16
-            # needs no scratch: its lane shift happens on already-
-            # converted integer data.
+            # needs no scratch: its single-term lane shift on converted
+            # integers is device-clean (unlike u8's 4-term chain).
             [pltpu.VMEM((th + 2 * dpad, wp + 255), image.dtype)]
             if packed_u8 else []
         ),
