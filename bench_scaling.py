@@ -191,10 +191,14 @@ def scaling_model(profile_paths=None):
     """
     import json as _json
 
-    profile_paths = profile_paths or [
-        "benchmarks/r04/profile_1080p_production.json",
-        "benchmarks/r04/profile_4k_production.json",
-        "benchmarks/r03/profile_1080p_production.json",
+    repo = os.path.dirname(os.path.abspath(__file__))
+    profile_paths = [
+        os.path.join(repo, p) if not os.path.isabs(p) else p
+        for p in (profile_paths or [
+            "benchmarks/r04/profile_1080p_production.json",
+            "benchmarks/r04/profile_4k_production.json",
+            "benchmarks/r03/profile_1080p_production.json",
+        ])
     ]
     profiles = []
     seen = set()
@@ -331,7 +335,10 @@ if __name__ == "__main__":
         doc = scaling_model()
         for row in doc["predictions"]:
             print(json.dumps(row))
-        out = "benchmarks/r04/scaling_model.json"
+        out = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "benchmarks/r04/scaling_model.json",
+        )
         os.makedirs(os.path.dirname(out), exist_ok=True)
         with open(out, "w") as f:
             json.dump(doc, f, indent=2)

@@ -73,7 +73,15 @@ WORKER = textwrap.dedent(
 @pytest.mark.slow
 def test_two_process_initialize_multihost(tmp_path):
     repo = str(Path(__file__).resolve().parent.parent)
-    port = 19473
+    # Ephemeral port per invocation: parallel test shards on the same
+    # machine must not collide on the coordinator bind (ADVICE r4). The
+    # throwaway bind reserves nothing, but the kernel cycles ephemeral
+    # ports, so a clash within the test's lifetime is vanishingly rare.
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
     script = tmp_path / "worker.py"
     script.write_text(
         WORKER.replace("@REPO@", repo).replace("@PORT@", str(port))

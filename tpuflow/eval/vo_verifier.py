@@ -425,6 +425,16 @@ def default_threshold(
     """
     if backend == "pallas":
         return 10.0, 1e-4
+    base_platform = None
+    if baseline_path.exists():
+        try:
+            base_platform = json.loads(baseline_path.read_text()).get(
+                "platform"
+            )
+        except (OSError, json.JSONDecodeError):
+            pass
+    if base_platform is not None and base_platform != platform:
+        return CROSS_PLATFORM_THRESHOLD, CROSS_METRIC_FLOORS
     return CPU_CROSS_HOST_THRESHOLD, CROSS_METRIC_FLOORS
 
 

@@ -55,9 +55,7 @@ def initialize_multihost(
     tests/test_multihost.py — the closest this single-host rig can get
     to a DCN bring-up.
     """
-    from jax._src import distributed as _distributed
-
-    if _distributed.global_state.client is not None:
+    if jax.distributed.is_initialized():
         return False
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
