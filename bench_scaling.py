@@ -143,14 +143,17 @@ ICI_GBPS = 200.0
 DCN_GBPS = 12.5
 CHIPS_PER_HOST = 8
 
-# Fraction of single-chip pyramidal compute spent on the REPLICATED
-# coarse levels in the tiled design (replicated-coarse + sharded-fine,
-# tpuflow/sharding/tiled_pyramidal.py): per-pixel work by level for a
-# 3-level pyramid = 1 : 1/4 : 1/16 -> coarse share = (1/4 + 1/16) /
-# (1 + 1/4 + 1/16) ~= 0.238. Small grids have better-than-pixel-count
-# fixed overheads, so this is an upper bound on the replicated share
-# (conservative for efficiency).
-COARSE_COMPUTE_FRACTION = 0.238
+# Tiled-design constants (r5 distributed-coarse pyramid,
+# tpuflow/sharding/tiled_pyramidal.py + sharding/dist_pyramid.py):
+# per-frame communication is halo strips, not frame gathers. A level
+# whose tile is too small (or whose dims don't divide the mesh) stays
+# replicated, and the coarsest SHARDED level is all_gathered once to
+# seed the replicated build — the model charges exactly what the code
+# does, via the same _shard_plan the code uses.
+WARP_HALO_PX = 8 + 1      # PyramidConfig.max_disp + 1 (default band)
+LK_APRON_PX = 3           # Sobel + half-window
+BUILD_HALO_PX = 10        # banded downsample overhang (sigma=2)
+REFINE_ITERS = 3
 
 
 def _load_profile(path):
@@ -184,10 +187,16 @@ def scaling_model(profile_paths=None):
       host-local; the VO back-end's psum of the reduced camera system
       is ~K^2*1.4 KB per SOLVE, amortized over whole chunks — <0.1% of
       frame time at K=32, charged below).
-    - "tiled": one frame sharded (1, ty, tx). Per frame and device:
-      replicated coarse compute + sharded fine compute + the coarse
-      replication all_gather of both frames (the dominant traffic) +
-      per-iteration halo exchanges (9 px warp band + 3 px LK apron).
+    - "tiled": one frame sharded (1, ty, tx), r5 distributed-coarse
+      design. Per frame and device: sharded compute for every level the
+      plan shards + replicated compute for the rest + ONE all_gather of
+      the coarsest sharded level (zero when everything shards — 1080p
+      on (2,2)/(2,4)/(2,8), 4K through (4,4)) + halo strips (per
+      refine iteration: warp band + LK apron; per build step: the
+      banded-operator overhang). Cross-host, only the strips/gather
+      share crossing the host boundary rides DCN — the r4 model's
+      full-frame DCN gather term (0.66 ms at 1080p, efficiency 0.09 at
+      16 chips) is gone by construction.
     """
     import json as _json
 
@@ -212,9 +221,6 @@ def scaling_model(profile_paths=None):
     rows = []
     for prof in profiles:
         h, w, t1_ms = prof["h"], prof["w"], prof["ms"]
-        frame_bytes = h * w * 4
-        t_coarse = t1_ms * COARSE_COMPUTE_FRACTION
-        t_fine = t1_ms - t_coarse
 
         # --- DP axis ---
         for chips in (2, 4, 8, 16):
@@ -235,34 +241,74 @@ def scaling_model(profile_paths=None):
                 "predicted_efficiency": round(eff, 3),
             })
 
-        # --- tiled axis ---
-        for ty, tx in ((1, 2), (2, 2), (2, 4), (4, 4)):
+        # --- tiled axis (r5 distributed-coarse pyramid) ---
+        from tpuflow.sharding.tiled_pyramidal import (
+            _level_shapes, _shard_plan,
+        )
+
+        for ty, tx in ((1, 2), (2, 2), (2, 4), (4, 4), (2, 8)):
             p = ty * tx
             hosts = max(1, p // CHIPS_PER_HOST)
-            th, tw = h / ty, w / tx
-            # all_gather: each device RECEIVES (p-1)/p of both frames.
-            ag_bytes = 2 * frame_bytes * (p - 1) / p
-            # Host-crossing share of the gather rides DCN.
+            dims = _level_shapes(h, w, 3, 0.5)
+            plan = _shard_plan(dims, ty, tx, WARP_HALO_PX)
+            tot_px = sum(a * b for a, b in dims)
+            repl_px = sum(
+                a * b for (a, b), s in zip(dims, plan) if not s
+            )
+            t_repl = t1_ms * repl_px / tot_px
+            t_shard = t1_ms * (tot_px - repl_px) / tot_px / p
+            first = plan.index(True)
+            # One gather of the coarsest sharded level seeds the
+            # replicated build (zero when everything shards).
+            if first == 0:
+                ag_bytes = 0.0
+            else:
+                lh0, lw0 = dims[first]
+                ag_bytes = 2 * lh0 * lw0 * 4 * (p - 1) / p
+            # Halo strips (bottleneck-device view), split by exchange
+            # axis so the host boundary's DCN share can be charged.
+            row_bytes = col_bytes = 0.0
+            for lvl, (lh, lw) in enumerate(dims):
+                if not plan[lvl]:
+                    continue
+                th_, tw_ = lh / ty, lw / tx
+                strip = 2 * (WARP_HALO_PX + 2 * LK_APRON_PX) * 4
+                row_bytes += REFINE_ITERS * strip * tw_
+                col_bytes += REFINE_ITERS * strip * th_
+                if lvl > first:
+                    # Build exchange on level lvl produced level lvl-1
+                    # (two frames' pyramids).
+                    row_bytes += 2 * 2 * BUILD_HALO_PX * tw_ * 4
+                    col_bytes += 2 * 2 * BUILD_HALO_PX * th_ * 4
             if hosts > 1:
                 dcn_share = (hosts - 1) / hosts
                 ag_ms = (
                     ag_bytes * (1 - dcn_share) / ICI_GBPS
                     + ag_bytes * dcn_share / DCN_GBPS
                 ) / 1e6
+                # The host boundary cuts ONE mesh axis (the longer one);
+                # a boundary device trades one of its two strip
+                # neighbors over DCN.
+                dcn_axis = row_bytes if ty >= tx else col_bytes
+                ici_axis = col_bytes if ty >= tx else row_bytes
+                halo_ms = (
+                    dcn_axis / 2 / DCN_GBPS
+                    + (dcn_axis / 2 + ici_axis) / ICI_GBPS
+                ) / 1e6
             else:
                 ag_ms = ag_bytes / ICI_GBPS / 1e6
-            # Halo exchange per fine iteration (3): warp halo 9 px on
-            # curr + 3 px LK apron on (prev, warped).
-            halo_px = 2 * (9 + 2 * 3) * (th + tw)
-            halo_ms = 3 * halo_px * 4 / ICI_GBPS / 1e6
-            t = t_coarse + t_fine / p + ag_ms + halo_ms
+                halo_ms = (row_bytes + col_bytes) / ICI_GBPS / 1e6
+            t = t_repl + t_shard + ag_ms + halo_ms
             eff = t1_ms / (p * t)
             rows.append({
                 "model": "tiled", "resolution": f"{w}x{h}",
                 "config": prof["config"], "chips": p, "hosts": hosts,
                 "mesh": f"1x{ty}x{tx}",
-                "comm_ms": round(ag_ms + halo_ms, 3),
-                "replicated_coarse_ms": round(t_coarse, 3),
+                "sharded_levels": sum(plan), "levels": len(plan),
+                "gather_ms": round(ag_ms, 4),
+                "halo_ms": round(halo_ms, 4),
+                "comm_ms": round(ag_ms + halo_ms, 4),
+                "replicated_coarse_ms": round(t_repl, 3),
                 "predicted_fps": round(1e3 / t, 1),
                 "predicted_efficiency": round(eff, 3),
             })
@@ -271,7 +317,10 @@ def scaling_model(profile_paths=None):
             "ici_gbps": ICI_GBPS,
             "dcn_gbps": DCN_GBPS,
             "chips_per_host": CHIPS_PER_HOST,
-            "coarse_compute_fraction": COARSE_COMPUTE_FRACTION,
+            "warp_halo_px": WARP_HALO_PX,
+            "lk_apron_px": LK_APRON_PX,
+            "build_halo_px": BUILD_HALO_PX,
+            "refine_iters": REFINE_ITERS,
             "single_chip_profiles": [
                 {k: p[k] for k in ("h", "w", "ms", "config")}
                 for p in profiles
@@ -337,7 +386,7 @@ if __name__ == "__main__":
             print(json.dumps(row))
         out = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
-            "benchmarks/r04/scaling_model.json",
+            "benchmarks/r05/scaling_model.json",
         )
         os.makedirs(os.path.dirname(out), exist_ok=True)
         with open(out, "w") as f:

@@ -40,10 +40,26 @@ def test_dp_axis_carries_the_efficiency_claim():
     assert hosts2 and all(r["predicted_efficiency"] >= 0.8 for r in hosts2)
 
 
+def test_tiled_meets_baseline_target():
+    """VERDICT r4 item 1 'done' criterion: with the distributed-coarse
+    pyramid, the tiled axis holds >= ~0.8 efficiency at 4 chips and
+    cross-host is no longer DCN-gather-bound (a fully-sharded 16-chip
+    mesh exists with zero gather traffic and >= 0.8 efficiency)."""
+    rows = [r for r in _model()["predictions"] if r["model"] == "tiled"]
+    four = [r for r in rows if r["chips"] == 4]
+    assert four and all(r["predicted_efficiency"] >= 0.8 for r in four)
+    cross = [
+        r for r in rows
+        if r["hosts"] > 1 and r["gather_ms"] == 0.0
+        and r["predicted_efficiency"] >= 0.8
+    ]
+    assert cross, "no gather-free cross-host mesh reaches 0.8"
+
+
 def test_tiled_axis_is_amdahl_bounded():
-    """Replicated-coarse tiling: latency improves with chips (single
-    host) but efficiency falls — the model must show BOTH (an honest
-    model, not a marketing one)."""
+    """Tiled scaling: latency improves with chips (single host) but
+    efficiency falls — the model must show BOTH (an honest model, not a
+    marketing one)."""
     rows = [
         r for r in _model()["predictions"]
         if r["model"] == "tiled" and r["hosts"] == 1
@@ -69,7 +85,7 @@ def test_snapshot_matches_model(tmp_path):
     """The committed benchmarks/r04/scaling_model.json was produced by
     this code on the committed profile — regenerate and compare the
     prediction rows (guards against snapshot drift)."""
-    snap_path = REPO / "benchmarks/r04/scaling_model.json"
+    snap_path = REPO / "benchmarks/r05/scaling_model.json"
     snap = json.loads(snap_path.read_text())
     fresh = bench_scaling.scaling_model()
     # Compare the 1080p rows (the snapshot may gain 4K rows later).

@@ -292,3 +292,160 @@ def test_tiled_narrow_vertical_matches_single_device(rng):
         prev[0], curr[0], config=cfg_full, rtl_clamp=True
     )
     assert np.abs(np.asarray(v_f) - np.asarray(v_s)).max() > 0
+
+
+# ---------------------------------------------------------------------------
+# Round 5: distributed pyramid build (no full-frame all_gather)
+# ---------------------------------------------------------------------------
+
+
+def test_sharded_downsample_matches_single_device(rng):
+    """dist_pyramid.sharded_downsample tiles reassemble into the
+    single-device fused downsample (to banded-contraction rounding)."""
+    import functools
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tpuflow.core import ops
+    from tpuflow.sharding import dist_pyramid
+
+    _need(4)
+    mesh = make_flow_mesh(batch=1, ty=2, tx=2)
+    gh, gw = 96, 128
+    nh, nw = 48, 64
+    img = rng.uniform(0, 255, (1, gh, gw)).astype(np.float32)
+
+    spec = P("batch", "ty", "tx")
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(spec,), out_specs=spec
+    )
+    def down(x):
+        return jnp.stack([
+            dist_pyramid.sharded_downsample(
+                x[i], (gh, gw), (nh, nw), 2.0, ty=2, tx=2
+            )
+            for i in range(x.shape[0])
+        ])
+
+    x = jax.device_put(jnp.asarray(img), NamedSharding(mesh, spec))
+    out = np.asarray(jax.jit(down)(x))[0]
+    ref = np.asarray(ops.downsample_fused(jnp.asarray(img[0]), nh, nw, 2.0))
+    np.testing.assert_allclose(out, ref, atol=1e-3)
+
+
+def test_sharded_upsample_flow_matches_single_device(rng):
+    import functools
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tpuflow.kernels import jnp_ref
+    from tpuflow.sharding import dist_pyramid
+
+    _need(4)
+    mesh = make_flow_mesh(batch=1, ty=2, tx=2)
+    ch, cw, th, tw = 24, 32, 48, 64
+    u = rng.uniform(-3, 3, (1, ch, cw)).astype(np.float32)
+    v = rng.uniform(-3, 3, (1, ch, cw)).astype(np.float32)
+
+    spec = P("batch", "ty", "tx")
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(spec, spec), out_specs=(spec, spec)
+    )
+    def up(uu, vv):
+        outs = [
+            dist_pyramid.sharded_upsample_flow(
+                uu[i], vv[i], (ch, cw), (th, tw), ty=2, tx=2
+            )
+            for i in range(uu.shape[0])
+        ]
+        return (
+            jnp.stack([o[0] for o in outs]),
+            jnp.stack([o[1] for o in outs]),
+        )
+
+    sh = NamedSharding(mesh, spec)
+    u_t, v_t = jax.jit(up)(
+        jax.device_put(jnp.asarray(u), sh), jax.device_put(jnp.asarray(v), sh)
+    )
+    u_s, v_s = jnp_ref.upsample_flow(jnp.asarray(u[0]), jnp.asarray(v[0]),
+                                     (th, tw))
+    np.testing.assert_allclose(np.asarray(u_t)[0], np.asarray(u_s), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v_t)[0], np.asarray(v_s), atol=1e-4)
+
+
+@pytest.mark.parametrize("tiling", [(1, 2, 2), (2, 2, 2)])
+def test_fully_distributed_pyramidal_matches_single_device(tiling, rng):
+    """Every pyramid level sharded (96x128 frames, max_disp=4 so even the
+    24x32 coarsest level's 12x16 tiles exceed the warp halo): the
+    distributed-build path must match single-device fast-path semantics
+    with NO full-frame gather."""
+    from scipy.ndimage import gaussian_filter, shift
+
+    from tpuflow.core.config import PyramidConfig
+    from tpuflow.flow import lucas_kanade_pyramidal
+    from tpuflow.sharding.tiled_pyramidal import (
+        _level_shapes, _shard_plan, tiled_lucas_kanade_pyramidal,
+    )
+
+    batch, ty, tx = tiling
+    _need(batch * ty * tx)
+    mesh = make_flow_mesh(batch=batch, ty=ty, tx=tx)
+    cfg = PyramidConfig(levels=3, window_size=5, iterations=2, max_disp=4)
+
+    # The plan must shard every level for this geometry.
+    dims = _level_shapes(96, 128, cfg.levels, cfg.scale_factor)
+    assert _shard_plan(dims, ty, tx, cfg.max_disp + 1) == [True] * 3
+
+    frames = []
+    for i in range(batch):
+        base = gaussian_filter(
+            rng.uniform(0, 255, (96, 128)).astype(np.float32), 2.0
+        ).astype(np.float32)
+        moved = shift(base, (0.5, 1.5 + i), order=1, mode="constant").astype(
+            np.float32
+        )
+        frames.append((base, moved))
+    prev = jnp.asarray(np.stack([f[0] for f in frames]))
+    curr = jnp.asarray(np.stack([f[1] for f in frames]))
+
+    u_t, v_t = tiled_lucas_kanade_pyramidal(prev, curr, mesh, config=cfg)
+
+    for b in range(batch):
+        u_s, v_s = lucas_kanade_pyramidal(
+            prev[b], curr[b], config=cfg, rtl_clamp=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(u_t)[b], np.asarray(u_s), atol=1e-3,
+            err_msg=f"tiling {tiling} batch {b}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(v_t)[b], np.asarray(v_s), atol=1e-3,
+        )
+
+
+def test_fully_distributed_pyramidal_has_no_all_gather(rng):
+    """The design goal, asserted on the compiled program: when every
+    level shards, the step contains NO all-gather (halo ppermutes and
+    convergence psums only). The r4 design all_gathered both full
+    frames per step — the term that decayed its scaling model."""
+    import functools
+    from jax import shard_map  # noqa: F401  (parity with sibling tests)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tpuflow.core.config import PyramidConfig
+    from tpuflow.sharding import tiled_pyramidal as tp
+
+    _need(4)
+    mesh = make_flow_mesh(batch=1, ty=2, tx=2)
+    cfg = PyramidConfig(levels=3, window_size=5, iterations=2, max_disp=4)
+    prev = jnp.zeros((1, 96, 128), jnp.float32)
+
+    # Reach the inner shard_mapped step through the public entry by
+    # lowering the same call the API makes.
+    fn = functools.partial(
+        tp.tiled_lucas_kanade_pyramidal, mesh=mesh, config=cfg
+    )
+    text = jax.jit(lambda a, b: fn(a, b)).lower(prev, prev).compile().as_text()
+    assert "all-gather" not in text, "fully-sharded plan still gathers"
