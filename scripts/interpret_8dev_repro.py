@@ -46,6 +46,18 @@ Consequences for tpuflow:
 Run: python scripts/interpret_8dev_repro.py [n_devices]  (default 8 —
 expect a hang; ctrl-C or the 120 s faulthandler dump will show the
 barrier stacks. Pass 4 to see the same program complete.)
+
+Round-5 retest (jax 0.9.0, VERDICT r4 item 8): still deadlocks at 8
+devices — and the r5 tiled path no longer contains ANY all_gather for
+this geometry (the distributed pyramid build shards both levels), so
+the hang is not gather-related: the composed program (two pallas
+kernels + ppermute halos + psum inside while_loop, per batch element)
+alone starves the interpreter's global barrier once 8 device threads
+contend. Upstream issue not filed from this rig (no network egress);
+when filing, title it "pallas TPU interpret mode: global device
+barrier starvation at >= 8 devices under shard_map composition" and
+attach this script. The 4-device dryrun/test coverage stands
+(tests/test_sharding.py::test_tiled_pallas_interpret_cpu_mesh).
 """
 
 import faulthandler

@@ -1391,3 +1391,58 @@ def test_session_pyramid_config_applied_and_checkpointed(tmp_path):
     resumed = run("shallow", split=3, tmp=tmp_path / "ck")
     np.testing.assert_array_equal(resumed.poses_r, ref_shallow.poses_r)
     np.testing.assert_array_equal(resumed.poses_t, ref_shallow.poses_t)
+
+
+def test_sample_flow_matches_map_coordinates(rng):
+    """The r5 single-gather sample_flow is value-identical to the
+    per-plane map_coordinates form it replaced (same corner clamping,
+    lerp order, and hard-OOB zero) — including fractional, border, and
+    out-of-bounds positions."""
+    import jax.numpy as jnp
+
+    from tpuflow.core import ops
+    from tpuflow.vo import tracking
+
+    h, w = 37, 53
+    u = jnp.asarray(rng.uniform(-5, 5, (h, w)), jnp.float32)
+    v = jnp.asarray(rng.uniform(-5, 5, (h, w)), jnp.float32)
+    xy = np.concatenate([
+        rng.uniform(-2, w + 2, (300, 1)),
+        rng.uniform(-2, h + 2, (300, 1)),
+    ], axis=1).astype(np.float32)
+    # Exact corners and edges too.
+    xy = np.concatenate([xy, np.float32([[0, 0], [w - 1, h - 1], [0.5, 0],
+                                         [w - 1.5, h - 1.0]])])
+    got = np.asarray(tracking.sample_flow(u, v, jnp.asarray(xy)))
+    ref = np.stack([
+        np.asarray(ops.map_coordinates_bilinear(
+            u, jnp.asarray(xy[:, 1]), jnp.asarray(xy[:, 0]))),
+        np.asarray(ops.map_coordinates_bilinear(
+            v, jnp.asarray(xy[:, 1]), jnp.asarray(xy[:, 0]))),
+    ], axis=1)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_reseed_skip_is_noop_when_all_alive(rng):
+    """The r5 dead-slot gate on keyframe reseeding: when no slot is
+    dead the cond skips the Shi-Tomasi reseed entirely, and the
+    resulting table must be exactly what the ungated reseed produced —
+    i.e. unchanged (reseeding zero dead slots is a no-op: ``good =
+    fresh.alive & ~alive`` is all-false and mints nothing)."""
+    from tpuflow.vo.device_loop import FrontEnd
+
+    # Raw noise = strong corner response in every cell -> every slot
+    # alive at init; zero motion -> zero flow -> no culls. The frame is
+    # big enough (min dim >= 16x the border stripe) that seed and cull
+    # use the SAME full-stripe margin — on smaller frames the legacy
+    # margins (seed 0 / cull 3) churn border slots by design.
+    base = rng.uniform(0, 255, (224, 224)).astype(np.float32)
+    fe = FrontEnd(grid_step=16, keyframe_stride=1, backend="jnp")
+    state, _obs0 = fe.init(base)
+    assert bool(np.asarray(state.alive).all())
+    state1, _obs1 = fe.step(state, base)
+    assert np.array_equal(np.asarray(state1.alive), np.asarray(state.alive))
+    assert int(state1.n_landmarks) == int(state.n_landmarks)
+    assert np.array_equal(np.asarray(state1.track_lm),
+                          np.asarray(state.track_lm))
+    assert np.array_equal(np.asarray(state1.xy), np.asarray(state.xy))

@@ -258,7 +258,21 @@ class FrontEnd:
         # Keyframe: refill dead slots with fresh corners and NEW landmark
         # ids from the on-device counter (ids ascend in slot order,
         # matching the host reseed this replaces).
-        is_kf = (fi % self.keyframe_stride) == 0
+        #
+        # Gated on a dead slot actually existing: reseeding with zero
+        # dead slots is an exact no-op (``good = fresh.alive & ~alive``
+        # is all-false — nothing changes, no ids are minted), but it
+        # still pays the full-frame Shi-Tomasi response. That was
+        # measured 0.344 ms/frame at 1080p — a third of the VO serving
+        # gap over flow-only (benchmarks/r05/profile_vo_1080p.json); at
+        # keyframe_stride=1 the ``fi % stride`` predicate folds to a
+        # constant True and the cond never skips. The dead-slot
+        # predicate makes the cond dynamic, so fully-tracked frames
+        # skip the branch entirely while any death (or loss event)
+        # reseeds exactly as before — bit-identical states either way.
+        is_kf = ((fi % self.keyframe_stride) == 0) & jnp.any(
+            jnp.logical_not(t.alive)
+        )
 
         def reseed(args):
             xy, start, age, alive, lm, n_lm = args

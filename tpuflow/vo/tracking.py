@@ -70,13 +70,28 @@ def seed_grid(
         resp = jnp.where(inside, resp, -jnp.inf)
     gy = h // grid_step
     gx = w // grid_step
-    cells = resp[: gy * grid_step, : gx * grid_step].reshape(
-        gy, grid_step, gx, grid_step
-    ).transpose(0, 2, 1, 3).reshape(gy * gx, grid_step * grid_step)
-    best = jnp.argmax(cells, axis=1)
-    best_resp = jnp.take_along_axis(cells, best[:, None], axis=1)[:, 0]
-    cy = best // grid_step
-    cx = best % grid_step
+    s = grid_step
+    # Per-cell argmax WITHOUT the (gy, s, gx, s) -> (gy, gx, s, s)
+    # transpose (a full-plane relayout that measured more than the
+    # corner response itself on TPU, 0.185 vs 0.140 ms at 1080p, r5):
+    # reduce the cell max, then recover argmax's exact first-occurrence
+    # tie-breaking as the minimum within-cell row-major index among the
+    # maxima — three layout-friendly reductions, zero relayouts.
+    # Bit-identical to the argmax form (including all--inf margin cells,
+    # where both pick local index 0).
+    r4 = resp[: gy * s, : gx * s].reshape(gy, s, gx, s)
+    cell_max = r4.max(axis=(1, 3))
+    ly = jax.lax.broadcasted_iota(jnp.int32, (gy, s, gx, s), 1)
+    lx = jax.lax.broadcasted_iota(jnp.int32, (gy, s, gx, s), 3)
+    is_max = r4 == cell_max[:, None, :, None]
+    best = (
+        jnp.where(is_max, ly * s + lx, s * s)
+        .min(axis=(1, 3))
+        .reshape(gy * gx)
+    )
+    best_resp = cell_max.reshape(gy * gx)
+    cy = best // s
+    cx = best % s
     base_y = (jnp.arange(gy * gx) // gx) * grid_step
     base_x = (jnp.arange(gy * gx) % gx) * grid_step
     xy = jnp.stack(
@@ -95,11 +110,39 @@ def seed_grid(
 def sample_flow(
     flow_u: jax.Array, flow_v: jax.Array, xy: jax.Array
 ) -> jax.Array:
-    """Bilinear flow sample at (N, 2) positions -> (N, 2) (du, dv)."""
+    """Bilinear flow sample at (N, 2) positions -> (N, 2) (du, dv).
+
+    Value-identical to ``ops.map_coordinates_bilinear`` per plane (same
+    corner clamping, same lerp order, same hard-OOB zero), but issued
+    as ONE flattened 1-D gather per plane instead of four 2-D advanced-
+    indexing gathers each: XLA lowers the (4N,) ``take`` far better on
+    TPU than the 2-D form (measured r5: the VO step's ``advance`` stage
+    was 0.344 ms at 1080p — two 2-D-gather sample_flows of ~8k tracks —
+    profile_vo decomposition, benchmarks/r05)."""
+    h, w = flow_u.shape
     x, y = xy[:, 0], xy[:, 1]
-    du = ops.map_coordinates_bilinear(flow_u, y, x)
-    dv = ops.map_coordinates_bilinear(flow_v, y, x)
-    return jnp.stack([du, dv], axis=1)
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    fx = (x - x0f).astype(flow_u.dtype)[:, None]
+    fy = (y - y0f).astype(flow_u.dtype)[:, None]
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    cx0 = jnp.clip(x0, 0, w - 1)
+    cx1 = jnp.clip(x0 + 1, 0, w - 1)
+    cy0 = jnp.clip(y0, 0, h - 1)
+    cy1 = jnp.clip(y0 + 1, 0, h - 1)
+    idx = jnp.concatenate(
+        [cy0 * w + cx0, cy0 * w + cx1, cy1 * w + cx0, cy1 * w + cx1]
+    )
+    n = xy.shape[0]
+    gu = jnp.take(flow_u.reshape(-1), idx).reshape(4, n)
+    gv = jnp.take(flow_v.reshape(-1), idx).reshape(4, n)
+    g = jnp.stack([gu, gv], axis=2)  # (4, N, 2)
+    top = g[0] * (1.0 - fx) + g[1] * fx
+    bot = g[2] * (1.0 - fx) + g[3] * fx
+    val = top * (1.0 - fy) + bot * fy
+    inside = (y >= 0) & (y <= h - 1) & (x >= 0) & (x <= w - 1)
+    return jnp.where(inside[:, None], val, 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("margin",))
