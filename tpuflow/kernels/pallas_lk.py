@@ -136,10 +136,61 @@ def _sliding_sum_tree(a, w: int, out_rows: int, out_cols: int):
     return axis_sum(axis_sum(a, 0, out_rows), 1, out_cols)
 
 
+def _wsum_mxu(a, window: int, out_rows: int, out_cols: int):
+    """Window sums as banded MXU matmuls (VERDICT r4 item 4a ablation).
+
+    ``ops._banded_left/right`` proved banded-MXU beats VPU taps 2-4x for
+    the resample operators; this tries the same trick on the LK window
+    sums — the kernel's dominant misaligned-op cost (the shifted views
+    in ``_sliding_sum_tree``/the sequential wsum). Vertical pass: one
+    dense (out_rows, out_rows + w - 1) banded-ones matmul. Horizontal:
+    the same (128 + w - 1, 128) banded block for every 128-lane output
+    block, unrolled (the band never crosses more than one extra vreg).
+    Zero entries contribute exact +0.0 terms, so values equal the plain
+    window sum up to contraction order — relaxed-order semantics, like
+    the shift tree it would replace. Measurement-only: reachable via
+    ``window_mxu`` from :func:`lucas_kanade_fused`; promoted to a config
+    only if it beats the shift tree on device (see DESIGN §2 ablation
+    table for the verdict)."""
+    import numpy as np
+
+    gh, gw = a.shape
+    wv = np.zeros((out_rows, gh), np.float32)
+    for d in range(window):
+        wv[np.arange(out_rows), np.arange(out_rows) + d] = 1.0
+    rows = jax.lax.dot(
+        jnp.asarray(wv), a, precision=jax.lax.Precision.HIGHEST
+    )
+    blocks = []
+    wh_full = None
+    for c0 in range(0, out_cols, 128):
+        bw = min(128, out_cols - c0)
+        if bw == 128:
+            if wh_full is None:
+                m = np.zeros((128 + window - 1, 128), np.float32)
+                for j in range(128):
+                    m[j : j + window, j] = 1.0
+                wh_full = jnp.asarray(m)
+            wh = wh_full
+        else:
+            m = np.zeros((bw + window - 1, bw), np.float32)
+            for j in range(bw):
+                m[j : j + window, j] = 1.0
+            wh = jnp.asarray(m)
+        seg = jax.lax.slice(
+            rows, (0, c0), (out_rows, c0 + bw + window - 1)
+        )
+        blocks.append(
+            jax.lax.dot(seg, wh, precision=jax.lax.Precision.HIGHEST)
+        )
+    return blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, axis=1)
+
+
 def _lk_tile(p, c, *, n_tiles: int, tile_rows: int, height: int,
              width: int, window: int, det_threshold: float,
              taps: tuple[float, ...] | None = None,
-             return_det: bool = False, relaxed_order: bool = False):
+             return_det: bool = False, relaxed_order: bool = False,
+             window_mxu: bool = False):
     """Core LK math on one (slab_h, wp) slab pair: gradients ->
     structure tensor -> Cramer solve -> interior-masked (u, v) tile.
 
@@ -204,6 +255,8 @@ def _lk_tile(p, c, *, n_tiles: int, tile_rows: int, height: int,
     # 125-DSP window_accumulator, rtl/unopt/window_accumulator.sv:112-167).
     def wsum(a):
         if taps is None:
+            if window_mxu:
+                return _wsum_mxu(a, window, tile_rows, width)
             if relaxed_order:
                 return _sliding_sum_tree(a, window, tile_rows, width)
             rows = a[0:tile_rows, :]
@@ -262,14 +315,14 @@ def _lk_kernel(prev_hbm, curr_hbm, u_ref, v_ref, bufs, sems,
                *, n_tiles: int, tile_rows: int, height: int, width: int,
                window: int, det_threshold: float,
                taps: tuple[float, ...] | None = None,
-               relaxed_order: bool = False):
+               relaxed_order: bool = False, window_mxu: bool = False):
     p, c = _dma_slabs(
         prev_hbm, curr_hbm, bufs, sems, n_tiles=n_tiles, tile_rows=tile_rows
     )
     u, v = _lk_tile(
         p, c, n_tiles=n_tiles, tile_rows=tile_rows, height=height,
         width=width, window=window, det_threshold=det_threshold, taps=taps,
-        relaxed_order=relaxed_order,
+        relaxed_order=relaxed_order, window_mxu=window_mxu,
     )
     u_ref[0] = u
     v_ref[0] = v
@@ -300,7 +353,7 @@ def _lk_refine_kernel(prev_hbm, curr_hbm, u_in, v_in, conv_ref,
                       *, n_tiles: int, tile_rows: int, height: int,
                       width: int, window: int, det_threshold: float,
                       max_disp: float, max_disp_v: float,
-                      relaxed_order: bool = False):
+                      relaxed_order: bool = False, window_mxu: bool = False):
     """One fused refinement accumulate: residual LK on (prev, warped) +
     the coarse-to-fine bookkeeping the XLA driver otherwise pays three
     plane passes for — per-level flow clamp, convergence-latched
@@ -312,7 +365,7 @@ def _lk_refine_kernel(prev_hbm, curr_hbm, u_in, v_in, conv_ref,
     du, dv = _lk_tile(
         p, c, n_tiles=n_tiles, tile_rows=tile_rows, height=height,
         width=width, window=window, det_threshold=det_threshold,
-        relaxed_order=relaxed_order,
+        relaxed_order=relaxed_order, window_mxu=window_mxu,
     )
     # RTL-style per-level saturation of the carried flow (the solver's
     # S8.7 clamp analog, flow_solver.sv:134-144), matching the driver's
@@ -349,7 +402,7 @@ def _window_taps(window_size: int, weight_sigma: float) -> tuple[float, ...]:
     static_argnames=(
         "window_size", "det_threshold", "tile_rows",
         "gaussian_weights", "weight_sigma", "return_confidence",
-        "relaxed_order",
+        "relaxed_order", "window_mxu",
     ),
 )
 def _fused_batched(
@@ -362,6 +415,7 @@ def _fused_batched(
     weight_sigma: float = 1.0,
     return_confidence: bool = False,
     relaxed_order: bool = False,
+    window_mxu: bool = False,
 ):
     """(B, H, W) batched fused LK (+ optional |det| confidence plane)."""
     bsz, h, w = frame_prev.shape
@@ -395,6 +449,7 @@ def _fused_batched(
         taps=_window_taps(window_size, weight_sigma) if gaussian_weights
         else None,
         relaxed_order=relaxed_order,
+        window_mxu=window_mxu,
     )
     n_out = 3 if return_confidence else 2
     plane_spec = pl.BlockSpec(
@@ -432,7 +487,7 @@ def _fused_batched(
     jax.jit,
     static_argnames=(
         "window_size", "det_threshold", "max_disp", "tile_rows", "max_disp_v",
-        "relaxed_order",
+        "relaxed_order", "window_mxu",
     ),
 )
 def _refine_batched(
@@ -447,6 +502,7 @@ def _refine_batched(
     tile_rows: int | None,
     max_disp_v: float | None = None,
     relaxed_order: bool = False,
+    window_mxu: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """(B, H, W) batched fused refine accumulate.
 
@@ -488,6 +544,7 @@ def _refine_batched(
         max_disp=max_disp,
         max_disp_v=max_disp_v,
         relaxed_order=relaxed_order,
+        window_mxu=window_mxu,
     )
     flow_spec = pl.BlockSpec(
         (1, th, w), lambda s: (s // n_tiles, s % n_tiles, 0),
@@ -578,6 +635,7 @@ def lucas_kanade_refine(
     tile_rows: int | None = None,
     max_disp_v: float | None = None,
     relaxed_order: bool = False,
+    window_mxu: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Fused coarse-to-fine refinement step.
 
@@ -598,7 +656,7 @@ def lucas_kanade_refine(
         return _refine_batched(
             frame_prev, warped, flow_u, flow_v, converged,
             window_size, det_threshold, max_disp, tile_rows, max_disp_v,
-            relaxed_order,
+            relaxed_order, window_mxu,
         )
     return _make_refine(
         window_size, det_threshold, max_disp, tile_rows, max_disp_v,
@@ -647,6 +705,7 @@ def lucas_kanade_fused(
     weight_sigma: float = 1.0,
     return_confidence: bool = False,
     relaxed_order: bool = False,
+    window_mxu: bool = False,
 ):
     """Fused dense LK flow: (u, v) = kernel(prev, curr).
 
@@ -665,6 +724,7 @@ def lucas_kanade_fused(
         return _fused_batched(
             frame_prev, frame_curr, window_size, det_threshold, tile_rows,
             gaussian_weights, weight_sigma, return_confidence, relaxed_order,
+            window_mxu,
         )
     return _make_fused(
         window_size, det_threshold, tile_rows, gaussian_weights,

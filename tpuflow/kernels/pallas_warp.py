@@ -437,11 +437,30 @@ def _warp_batched(
         max_disp_v = max_disp
     bsz, h, w = image.shape
     if tile_rows is None:
-        # ~60 live (th, w)-sized f32 planes (coords, fractions, block
-        # selectors, accumulators, gather temporaries) + 3 band copies;
-        # keep the working set under ~8 MB.
-        budget_rows = (8 * 1024 * 1024) // (60 * 4 * max(w, 128))
-        tile_rows = min(64, max(8, (budget_rows // 8) * 8))
+        # Live-plane budgets by variant (r5 device sweep,
+        # scripts/r5_warp_tile_sweep.py + DESIGN §3): the packed kernels
+        # hold fewer full-width temporaries than the exact path's ~60
+        # (one packed word per corner pair replaces four corner planes),
+        # so they afford much taller tiles — and taller tiles amortize
+        # the per-tile index/fraction prelude and cut the DMA slab's
+        # (tile + 2*dpad)/tile re-read factor. Measured at 4K (width
+        # 3840, where the old uniform budget degenerated to 8-row
+        # tiles): packed_u8 1.53 -> 1.11 ms at 32 rows, packed_u16 2.13
+        # -> 1.80 ms at 24; 48/32 rows respectively OOM the 16 MB
+        # scoped VMEM, hence the plane counts below. At 1080p the same
+        # budgets land on 32-row tiles (u8 0.31 -> 0.27 ms, u16 ~flat,
+        # both re-measured twice per the tunnel-jitter rule). The exact
+        # kernel keeps the old budget (it OOMs above 24 rows at 1080p).
+        if packed_u8:
+            planes, cap = 24, 32
+        elif packed_u16:
+            planes, cap = 34, 32
+        else:
+            planes, cap = 60, 64
+        budget_rows = (12 * 1024 * 1024) // (planes * 4 * max(w, 128))
+        if not (packed_u8 or packed_u16):
+            budget_rows = (8 * 1024 * 1024) // (planes * 4 * max(w, 128))
+        tile_rows = min(cap, max(8, (budget_rows // 8) * 8))
     th = min(tile_rows, _round_up(h, 8))
     hp = _round_up(h, th)
     wp = _round_up(w, 128)
