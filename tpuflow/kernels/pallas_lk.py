@@ -332,7 +332,7 @@ def _lk_conf_kernel(prev_hbm, curr_hbm, u_ref, v_ref, conf_ref, bufs, sems,
                     *, n_tiles: int, tile_rows: int, height: int,
                     width: int, window: int, det_threshold: float,
                     taps: tuple[float, ...] | None = None,
-                    relaxed_order: bool = False):
+                    relaxed_order: bool = False, window_mxu: bool = False):
     """_lk_kernel plus the |det| confidence plane (texture/conditioning
     measure — free in-kernel, one extra HBM write when requested)."""
     p, c = _dma_slabs(
@@ -341,7 +341,7 @@ def _lk_conf_kernel(prev_hbm, curr_hbm, u_ref, v_ref, conf_ref, bufs, sems,
     u, v, conf = _lk_tile(
         p, c, n_tiles=n_tiles, tile_rows=tile_rows, height=height,
         width=width, window=window, det_threshold=det_threshold, taps=taps,
-        return_det=True, relaxed_order=relaxed_order,
+        return_det=True, relaxed_order=relaxed_order, window_mxu=window_mxu,
     )
     u_ref[0] = u
     v_ref[0] = v
@@ -513,11 +513,28 @@ def _refine_batched(
     if max_disp_v is None:
         max_disp_v = max_disp
     bsz, h, w = frame_prev.shape
+    compiler_params = None
     if tile_rows is None:
         # ~30 live (th, w)-sized f32 planes in VMEM; 14 MB budget with a
         # 64-row cap (v5e sweep at 1080p: 64 fastest, 88 overflows).
         budget_rows = (14 * 1024 * 1024) // (30 * 4 * max(w, 128))
         tile_rows = min(64, max(8, (budget_rows // 8) * 8))
+        if w >= 3584 and tile_rows < 40 and relaxed_order:
+            # r5 wide-frame sweep (scripts/r5_lk_tile_sweep.py, all
+            # outputs live): 40-row tiles measured 0.81 -> 0.74 ms at
+            # 4K — the 24-row budget tile re-reads the (tile + 8)-row
+            # DMA slab 1.33x and under-amortizes the per-tile prelude.
+            # Standalone compiles account ~16.6 MB scoped VMEM for this
+            # shape (the same program compiles under the 16 MB default
+            # inside a larger jitted loop — context-dependent
+            # accounting), so raise the scoped cap a notch; 48 rows
+            # fails even at the raised cap. relaxed_order only: the
+            # exact-order kernel holds more live planes (20.9 MB at 40
+            # rows, over even the raised cap) and keeps the budget tile.
+            tile_rows = 40
+            compiler_params = pltpu.CompilerParams(
+                vmem_limit_bytes=18 * 1024 * 1024
+            )
     th = min(tile_rows, _round_up(h, 8))
     hp = _round_up(h, th)
     wp = _round_up(w + 2 * APRON, 128)
@@ -581,6 +598,7 @@ def _refine_batched(
             bytes_accessed=int(32 * bsz * h * w),
             transcendentals=0,
         ),
+        **({"compiler_params": compiler_params} if compiler_params else {}),
     )(prev_p, curr_p, u_p, v_p, conv)
     if hp != h:
         u2 = u2[:, :h]
