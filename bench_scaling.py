@@ -204,6 +204,8 @@ def scaling_model(profile_paths=None):
     profile_paths = [
         os.path.join(repo, p) if not os.path.isabs(p) else p
         for p in (profile_paths or [
+            "benchmarks/r05/profile_1080p_production.json",
+            "benchmarks/r05/profile_4k_production.json",
             "benchmarks/r04/profile_1080p_production.json",
             "benchmarks/r04/profile_4k_production.json",
             "benchmarks/r03/profile_1080p_production.json",
