@@ -31,6 +31,10 @@ def main() -> None:
     p.add_argument("--width", type=int, default=3840)
     p.add_argument("--config", type=str, default="production")
     p.add_argument("--json", type=str, default=None)
+    p.add_argument("--streams-only", action="store_true",
+                   help="measure only the composed serving-stream totals "
+                   "(adaptive vs static full band), skipping the per-stage "
+                   "decomposition rows")
     args = p.parse_args()
 
     import jax
@@ -66,22 +70,23 @@ def main() -> None:
         rows.append((name, secs * 1e3))
         print(f"{name:48s} {secs * 1e3:8.3f} ms", flush=True)
 
-    # 1. The committed fast row (the profile's harness: pairwise API, the
-    #    second frame loop-invariant). Kept for continuity with the r3/r4
-    #    snapshots, but see row 3 — this shape both hoists the constant
-    #    frame's pyramid build AND pays the known XLA invariant-operand
-    #    pathology on the pallas warps (CLAUDE.md; measured 1.26 ms
-    #    apart at 4K), so it is neither the pairwise cost nor the
-    #    serving cost.
-    add("fast total (pairwise, 2 builds)", _marginal_seconds(
-        lambda x: lucas_kanade_pyramidal(x, curr, config=cfg, backend="pallas")[0],
-        (h, w), x0=np.asarray(prev)))
+    if not args.streams_only:
+        # 1. The committed fast row (the profile's harness through r4:
+        #    pairwise API, the second frame loop-invariant). Kept for
+        #    continuity with the r3/r4 snapshots, but see row 3 — this
+        #    shape both hoists the constant frame's pyramid build AND
+        #    pays the known XLA invariant-operand pathology on the
+        #    pallas warps (CLAUDE.md; measured 1.26 ms apart at 4K), so
+        #    it is neither the pairwise cost nor the serving cost.
+        add("fast total (pairwise, 2 builds)", _marginal_seconds(
+            lambda x: lucas_kanade_pyramidal(x, curr, config=cfg, backend="pallas")[0],
+            (h, w), x0=np.asarray(prev)))
 
-    # 2. Streaming-step form, prev pyramid loop-invariant.
-    pyr_prev_dev = [jnp.asarray(x) for x in pyr_prev]
-    add("fast total (streaming step, const prev)", _marginal_seconds(
-        lambda x: lucas_kanade_pyramidal_step(pyr_prev_dev, x, cfg, backend="pallas")[0],
-        (h, w), x0=np.asarray(curr)))
+        # 2. Streaming-step form, prev pyramid loop-invariant.
+        pyr_prev_dev = [jnp.asarray(x) for x in pyr_prev]
+        add("fast total (streaming step, const prev)", _marginal_seconds(
+            lambda x: lucas_kanade_pyramidal_step(pyr_prev_dev, x, cfg, backend="pallas")[0],
+            (h, w), x0=np.asarray(curr)))
 
     # 3. THE serving-shape adversarial bound: bench.py's exact streaming
     #    loop (alternating frames, both perturbed by the carried output
@@ -153,6 +158,20 @@ def main() -> None:
     add("fast total (streaming, static full band)",
         stream_marginal(stream_loop_static))
 
+    if args.streams_only:
+        if args.json:
+            from datetime import datetime, timezone
+
+            doc = {
+                "timestamp": datetime.now(timezone.utc).isoformat(),
+                "height": h, "width": w, "config": args.config,
+                "rows": [{"stage": k, "ms": v} for k, v in rows],
+            }
+            Path(args.json).parent.mkdir(parents=True, exist_ok=True)
+            Path(args.json).write_text(json.dumps(doc, indent=2))
+            print(f"-> {args.json}")
+        return
+
     # 3. One pyramid build.
     def build_pad(x):
         lvl = jnp_ref.build_gaussian_pyramid(x, cfg.levels)[0]
@@ -215,7 +234,6 @@ def main() -> None:
 
     if args.json:
         from datetime import datetime, timezone
-        from pathlib import Path
 
         doc = {
             "timestamp": datetime.now(timezone.utc).isoformat(),
