@@ -64,6 +64,15 @@ timeout 1500 python -m tpuflow.eval.verifier \
     --output-dir /tmp/tpu_fastpath_production \
     --no-visualizations
 
+echo "== 5b/8 static full-band serving config vs its committed baseline =="
+timeout 1500 python -m tpuflow.eval.verifier \
+    --backend pallas \
+    --pyramid-config production_fullband \
+    --compare-baseline \
+    --baseline tpuflow/eval/data/pallas_production_fullband_baseline.json \
+    --output-dir /tmp/tpu_fastpath_fullband \
+    --no-visualizations
+
 echo "== 6/8 VO trajectory suite (pallas front-end) vs its committed baseline =="
 timeout 1800 python -m tpuflow.eval.vo_verifier \
     --backend pallas \

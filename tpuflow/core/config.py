@@ -182,4 +182,21 @@ PYRAMID_CONFIGS: dict[str, PyramidConfig] = {
         description="adaptive vertical band + relaxed-order kernels + "
         "packed-u8 finest / packed-u16 coarse warp (8-bit input contract)",
     ),
+    # Worst-case-bounded serving variant: the production kernels at the
+    # STATIC full ±8 band. At 4K the adaptive ladder's switch machinery
+    # costs ~1.15 ms/frame on adversarial streams — more than its
+    # benign-stream win at that resolution — so a 4K SLA written
+    # against the worst case runs this config: 9.60 ms (104 fps) on
+    # EVERY stream vs the adaptive config's 10.74 adversarial bound
+    # (measured, benchmarks/r05/fast_decomp_4k.json; DESIGN §5 serving
+    # guidance). At 1080p the adaptive ladder is effectively free
+    # adversarially (2.264 vs 2.254 ms) and much faster on benign
+    # streams, so `production` stays the default there. Accuracy is the
+    # full-band fast path's — the strongest of the gated columns.
+    "production_fullband": PyramidConfig(
+        levels=3, window_size=5, iterations=3,
+        relaxed_order=True, warp_packed_u8=True, warp_packed_u16=True,
+        description="static full-band production kernels (worst-case-"
+        "bounded serving latency; 8-bit input contract)",
+    ),
 }
