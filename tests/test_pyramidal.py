@@ -247,3 +247,31 @@ def test_adaptive_band_ignored_in_parity_mode():
     )
     np.testing.assert_array_equal(np.asarray(ua), np.asarray(ud))
     np.testing.assert_array_equal(np.asarray(va), np.asarray(vd))
+
+
+def test_production_fullband_matches_escalated_production():
+    """`production_fullband` (the worst-case-bounded serving config,
+    DESIGN §5) is exactly the production kernels at the static full
+    band: on vertical motion — where production's ladder escalates to
+    the full band at every level — the two configs are bit-identical;
+    and the config carries production's kernel flags so the fast path
+    runs the same packed/relaxed kernels."""
+    from tpuflow.core.config import PYRAMID_CONFIGS
+
+    prod = PYRAMID_CONFIGS["production"]
+    full = PYRAMID_CONFIGS["production_fullband"]
+    assert full.adaptive_v_bands is None
+    assert full.max_disp_v_effective == full.max_disp == prod.max_disp
+    assert full.relaxed_order == prod.relaxed_order
+    assert full.warp_packed_u8 == prod.warp_packed_u8
+    assert full.warp_packed_u16 == prod.warp_packed_u16
+
+    f0, f1 = _pattern_pair("translate_vertical")
+    up, vp = lucas_kanade_pyramidal(
+        f0, f1, config=prod, backend="jnp", rtl_clamp=True
+    )
+    uf, vf = lucas_kanade_pyramidal(
+        f0, f1, config=full, backend="jnp", rtl_clamp=True
+    )
+    np.testing.assert_array_equal(np.asarray(up), np.asarray(uf))
+    np.testing.assert_array_equal(np.asarray(vp), np.asarray(vf))
